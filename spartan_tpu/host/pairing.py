@@ -1,0 +1,149 @@
+"""Host-side BLS12-381 optimal-ate pairing.
+
+TPU-native equivalent of the reference's use of ``E::pairing`` /
+``E::product_of_pairings`` (reference: src/commitment/verify.rs:15,41).
+The pairing appears only in PC verification — 2*(nv+1) pairings per proof
+(SURVEY.md §2.2: "not a hot loop") — so a host implementation is the right
+architecture: keep the MXU/VPU for the MSM/sumcheck flops, do the tiny
+pairing product on the host CPU.
+
+Implementation: generic affine Miller loop over E(Fp12) after untwisting G2
+(w^2 = v, v^3 = xi tower; untwist (x', y') -> (x'/w^2, y'/w^3)), followed by
+final exponentiation with the easy part done via Frobenius/conjugation and the
+hard part as a plain square-and-multiply by (p^4 - p^2 + 1) // r. Correct and
+simple; ~100ms/pairing in CPython, amortized via shared final exponentiation
+in ``product_of_pairings``.
+"""
+
+from __future__ import annotations
+
+from spartan_tpu.host import field as hf
+from spartan_tpu.host.field import (
+    FP12_ONE,
+    fp12_conj,
+    fp12_frob,
+    fp12_inv,
+    fp12_mul,
+    fp12_pow,
+    fp12_sq,
+)
+
+# -- Fp12 embedding helpers -------------------------------------------------
+
+
+def _fp12_from_fp(a: int):
+    return (((a % hf.P, 0), hf.FP2_ZERO, hf.FP2_ZERO), hf.FP6_ZERO)
+
+
+def _fp12_from_fp2(a):
+    return ((a, hf.FP2_ZERO, hf.FP2_ZERO), hf.FP6_ZERO)
+
+
+_W = (hf.FP6_ZERO, hf.FP6_ONE)  # w
+_W2 = fp12_sq(_W)
+_W3 = fp12_mul(_W2, _W)
+_W2_INV = fp12_inv(_W2)
+_W3_INV = fp12_inv(_W3)
+
+
+def _untwist(q):
+    """Map a G2 point (Fp2 coords on the twist) to E(Fp12)."""
+    if q is None:
+        return None
+    x, y = q
+    return (
+        fp12_mul(_fp12_from_fp2(x), _W2_INV),
+        fp12_mul(_fp12_from_fp2(y), _W3_INV),
+    )
+
+
+def _fp12_sub(a, b):
+    return (hf.fp6_sub(a[0], b[0]), hf.fp6_sub(a[1], b[1]))
+
+
+def _fp12_eq(a, b) -> bool:
+    return a == b
+
+
+# -- Miller loop ------------------------------------------------------------
+
+
+def _line_eval(a, b, px, py):
+    """Evaluate the line through points a, b (on E(Fp12)) at P=(px,py) (Fp12).
+
+    Returns (line_value, a+b). Handles a==b (tangent) and vertical lines.
+    """
+    xa, ya = a
+    xb, yb = b
+    if _fp12_eq(xa, xb) and not _fp12_eq(ya, yb):
+        # vertical line: l(P) = x_P - x_a ; a + b = infinity
+        return _fp12_sub(px, xa), None
+    if _fp12_eq(xa, xb):
+        # tangent: lambda = 3 x^2 / 2y
+        num = fp12_mul(_fp12_from_fp(3), fp12_sq(xa))
+        two_y = (hf.fp6_add(ya[0], ya[0]), hf.fp6_add(ya[1], ya[1]))
+        lam = fp12_mul(num, fp12_inv(two_y))
+    else:
+        lam = fp12_mul(_fp12_sub(yb, ya), fp12_inv(_fp12_sub(xb, xa)))
+    # l(P) = (y_P - y_a) - lambda (x_P - x_a)
+    line = _fp12_sub(_fp12_sub(py, ya), fp12_mul(lam, _fp12_sub(px, xa)))
+    # a + b
+    x3 = _fp12_sub(_fp12_sub(fp12_sq(lam), xa), xb)
+    y3 = _fp12_sub(fp12_mul(lam, _fp12_sub(xa, x3)), ya)
+    return line, (x3, y3)
+
+
+def miller_loop(p, q):
+    """f_{|BLS_X|, Q}(P) with the x<0 conjugation folded in.
+
+    p: G1 affine (int coords) or None; q: G2 affine (Fp2 coords) or None.
+    """
+    if p is None or q is None:
+        return FP12_ONE
+    px = _fp12_from_fp(p[0])
+    py = _fp12_from_fp(p[1])
+    qt = _untwist(q)
+
+    t = qt
+    f = FP12_ONE
+    x_abs = hf.BLS_X_ABS
+    bits = bin(x_abs)[3:]  # skip leading 1
+    for bit in bits:
+        line, t = _line_eval(t, t, px, py)
+        f = fp12_mul(fp12_sq(f), line)
+        if bit == "1":
+            line, t = _line_eval(t, qt, px, py)
+            f = fp12_mul(f, line)
+    # BLS parameter is negative: f_{-|x|} corresponds to conjugation
+    # (inversion up to final exponentiation).
+    return fp12_conj(f)
+
+
+# -- Final exponentiation ---------------------------------------------------
+
+_HARD_EXP = (hf.P**4 - hf.P**2 + 1) // hf.R
+
+
+def final_exponentiation(f):
+    """f^((p^12 - 1) / r)."""
+    # easy part: f^(p^6 - 1) then ^(p^2 + 1)
+    f = fp12_mul(fp12_conj(f), fp12_inv(f))
+    f = fp12_mul(fp12_frob(f, 2), f)
+    # hard part: plain square-and-multiply (host-side, not hot)
+    return fp12_pow(f, _HARD_EXP)
+
+
+def pairing(p, q):
+    """e(P, Q) for P in G1, Q in G2 (affine tuples, None = infinity)."""
+    return final_exponentiation(miller_loop(p, q))
+
+
+def product_of_pairings(pairs):
+    """prod_i e(P_i, Q_i) with one shared final exponentiation.
+
+    Mirrors ``E::product_of_pairings`` (reference: src/commitment/verify.rs:41).
+    """
+    f = FP12_ONE
+    for p, q in pairs:
+        f = fp12_mul(f, miller_loop(p, q))
+    return final_exponentiation(f)
