@@ -1,0 +1,182 @@
+"""PST/Libra-style multilinear polynomial commitment: keygen/commit/open/verify.
+
+TPU-native rebuild of reference src/commitment/{setup,commit,open,verify}.rs:
+
+- keygen (setup.rs:27-104): sample generators g, h and trapdoor t; build the
+  evaluation hypercubes powers_of_g[i][b] = g^{eq(t[i..], b)} (and same in
+  G2). The reference chains suffix eq-products + a windowed FixedBaseMSM; here
+  the eq tables come from the batched MLE kernel and the exponentiations from
+  the windowed fixed-base MSM kernel (one fused scan, all levels at once).
+  Returns (pp, vp, t) — the trapdoor is returned to the caller exactly like
+  the reference (a documented quirk, SURVEY.md §7).
+- commit (commit.rs:17-29): one 2^nv-point G1 Pippenger MSM of the
+  evaluation table.
+- open (open.rs:19-58): per-variable quotient tables q[k][b] =
+  r[k][2b+1]-r[k][2b] with the folded remainder (= the MLE fold kernel), each
+  committed with a G2 MSM over powers_of_h[i] with duplicated scalars.
+- verify (verify.rs:12-45): host-side pairing product
+  e(com * g^-eval, h) == prod_i e(g^{t_i - point_i}, proof_i).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+from spartan_tpu.host import field as hf
+from spartan_tpu.host import curve as hc
+from spartan_tpu.host import pairing as hp
+from spartan_tpu.ops import curve as cv
+from spartan_tpu.ops import field as fo
+from spartan_tpu.ops import fp2
+from spartan_tpu.ops import mle
+from spartan_tpu.ops import msm as msm_mod
+from spartan_tpu.ops.field import FP, FR
+from spartan_tpu.commitment.data_structures import (
+    Commitment,
+    OpenProof,
+    PublicParameter,
+    VerifierParameter,
+)
+from spartan_tpu.utils.errors import invalid_arg
+from spartan_tpu.utils.timers import span
+
+
+def _normalize_g1(batch: cv.PointBatch) -> cv.PointBatch:
+    """Jacobian -> affine-encoded (Z=1, or Z=0 for infinity) G1 batch."""
+    f = cv.G1_FIELD
+    x, y, inf = cv.normalize(f, lambda z: fo.inv(FP, z), batch)
+    one = fo.ones_mont(FP, (x.shape[1],))
+    z = jnp.where(inf[None, :], jnp.zeros_like(one), one)
+    x = jnp.where(inf[None, :], jnp.zeros_like(x), x)
+    y = jnp.where(inf[None, :], jnp.zeros_like(y), y)
+    return cv.PointBatch(x, y, z)
+
+
+def _normalize_g2(batch: cv.PointBatch) -> cv.PointBatch:
+    f = cv.G2_FIELD
+    x, y, inf = cv.normalize(f, fp2.inv2, batch)
+    n = x[0].shape[1]
+    one = fo.ones_mont(FP, (n,))
+    zero = fo.zeros(FP, (n,))
+    m = inf[None, :]
+    z = (jnp.where(m, zero, one), zero)
+    x = (jnp.where(m, zero, x[0]), jnp.where(m, zero, x[1]))
+    y = (jnp.where(m, zero, y[0]), jnp.where(m, zero, y[1]))
+    return cv.PointBatch(x, y, z)
+
+
+def keygen(nv: int, rng) -> Tuple[PublicParameter, VerifierParameter, List[int]]:
+    """Trusted setup. rng must provide sample_fr() (FS RNG or test RNG)."""
+    if nv <= 0:
+        raise invalid_arg("nv must be positive")
+    g = hc.G1.mul(hf.G1_GEN, rng.sample_fr())
+    h = hc.G2.mul(hf.G2_GEN, rng.sample_fr())
+    t = [rng.sample_fr() for _ in range(nv)]
+
+    # scalars for all levels: eq(t[i..], b) over b in {0,1}^(nv-i), i = 0..nv-1
+    with span("keygen eq tables"):
+        suffix = mle.eq_suffix_tables(t)  # S[j] = eq table of t[j:]
+        all_scalars = jnp.concatenate(
+            [fo.from_mont(FR, suffix[i]) for i in range(nv)], axis=1
+        )  # canonical, total 2^(nv+1) - 2 scalars
+
+    with span("keygen fixed-base exps"):
+        g_table = cv.g1_encode(msm_mod.fixed_base_table_host(g, hc.G1))
+        h_table = cv.g2_encode(msm_mod.fixed_base_table_host(h, hc.G2))
+        pp_g = _normalize_g1(msm_mod.fixed_base_msm(g_table, all_scalars, "fp"))
+        pp_h = _normalize_g2(msm_mod.fixed_base_msm(h_table, all_scalars, "fp2"))
+
+    powers_of_g, powers_of_h = [], []
+    start = 0
+    for i in range(nv):
+        size = 1 << (nv - i)
+        take = lambda a: a[..., start : start + size]
+        powers_of_g.append(cv.PointBatch(*[jnp.asarray(take(c)) for c in pp_g]))
+        powers_of_h.append(
+            cv.PointBatch(
+                (take(pp_h.x[0]), take(pp_h.x[1])),
+                (take(pp_h.y[0]), take(pp_h.y[1])),
+                (take(pp_h.z[0]), take(pp_h.z[1])),
+            )
+        )
+        start += size
+
+    with span("keygen vp masks"):
+        g_mask = [hc.G1.mul(g, ti) for ti in t]
+
+    pp = PublicParameter(nv=nv, powers_of_g=powers_of_g, powers_of_h=powers_of_h, g=g, h=h)
+    vp = VerifierParameter(nv=nv, g=g, h=h, g_mask_random=g_mask)
+    return pp, vp, t
+
+
+def commit(pp: PublicParameter, poly) -> Commitment:
+    """poly: (16, 2^nv) Montgomery Fr table. One G1 Pippenger MSM."""
+    nv = int(poly.shape[1]).bit_length() - 1
+    if 1 << nv != poly.shape[1]:
+        raise invalid_arg("polynomial table must be power-of-two sized")
+    if nv != pp.nv:
+        raise invalid_arg("polynomial nv mismatch with public parameter")
+    scalars = fo.from_mont(FR, poly)  # into_repr (commit.rs:21)
+    with span("commit MSM"):
+        res = msm_mod.msm(pp.powers_of_g[0], scalars, "fp")
+    g_product = cv.g1_decode(res)[0]
+    return Commitment(nv=nv, g_product=g_product)
+
+
+def open_poly(pp: PublicParameter, poly, point: List[int]):
+    """Evaluate poly at point and produce the PST opening proof.
+
+    point: list of nv host ints. Returns (eval:int, OpenProof, q_tables)
+    — q_tables returned like the reference's third tuple element
+    (open.rs:19-58, used by its sanity tests).
+    """
+    nv = pp.nv
+    if len(point) != nv:
+        raise invalid_arg("point dimension mismatch")
+    point_mont = fo.encode_mont(FR, point)
+    with span("open eval"):
+        eval_res = fo.decode_mont(FR, mle.eval_at(poly, point_mont))[0]
+
+    r_table = poly
+    proofs = []
+    q_tables = []
+    with span("open quotients + G2 MSMs"):
+        for i in range(nv):
+            k, n = r_table.shape
+            pairs = r_table.reshape(k, n // 2, 2)
+            even, odd = pairs[:, :, 0], pairs[:, :, 1]
+            q = fo.sub(FR, odd, even)  # quotient table, size 2^(nv-1-i)
+            q_tables.append(q)
+            r_table = mle.fold(r_table, point_mont[:, i])
+            # scalars duplicated: s[x] = q[x >> 1]  (open.rs:46-48)
+            scalars = fo.from_mont(FR, jnp.repeat(q, 2, axis=1))
+            pi = msm_mod.msm(pp.powers_of_h[i], scalars, "fp2")
+            proofs.append(cv.g2_decode(pi)[0])
+
+    return eval_res, OpenProof(h=pp.h, proofs=proofs), q_tables
+
+
+def verify(
+    vp: VerifierParameter,
+    commitment: Commitment,
+    point: List[int],
+    evaluation: int,
+    proof: OpenProof,
+) -> bool:
+    """Host-side pairing-product check (verify.rs:12-45)."""
+    with span("PC verify pairings"):
+        left = hp.pairing(
+            hc.G1.add(commitment.g_product, hc.G1.neg(hc.G1.mul(vp.g, evaluation))),
+            vp.h,
+        )
+        pairs = []
+        for i in range(vp.nv):
+            lhs = hc.G1.add(
+                vp.g_mask_random[i], hc.G1.neg(hc.G1.mul(vp.g, point[i]))
+            )
+            pairs.append((lhs, proof.proofs[i]))
+        right = hp.product_of_pairings(pairs)
+    return left == right

@@ -1,0 +1,333 @@
+"""Batched prime-field arithmetic on TPU: Montgomery form over 16-bit limbs.
+
+TPU-native equivalent of ``ark-ff``'s Fp/Fr types (reference use sites:
+src/commitment/commit.rs:21 ``into_repr``, src/commitment/setup.rs:35
+``size_in_bits``; SURVEY.md §2.2 row "Prime field Fr"). One `FieldSpec` per
+modulus: Fr (BLS12-381 scalar, 16 limbs) and Fp (base field, 24 limbs).
+
+Elements live in Montgomery form (value * 2^(16K) mod m) as (K, ...) uint32
+arrays — see `spartan_tpu.ops.limb` for the layout rationale. All public ops
+keep elements canonical (< m) with exact 16-bit limbs.
+
+The multiply is a schoolbook product followed by 16-bit CIOS-style Montgomery
+reduction; both phases accumulate into a redundant (lazy-carry) accumulator
+that is re-split every step so no uint32 ever overflows. Cost: 2*K^2 uint32
+multiplies per field multiply (512 for Fr), all full-width vector ops over the
+batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spartan_tpu.ops import limb as lb
+from spartan_tpu.ops.limb import MASK16, U32
+
+__all__ = [
+    "FieldSpec",
+    "FR",
+    "FP",
+    "add",
+    "sub",
+    "neg",
+    "mont_mul",
+    "mont_sq",
+    "to_mont",
+    "from_mont",
+    "inv",
+    "zeros",
+    "ones_mont",
+    "encode_ints",
+    "decode_ints",
+    "encode_mont",
+    "decode_mont",
+    "reduce_wide",
+]
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Compile-time constants for one prime field."""
+
+    modulus: int
+    nlimb: int  # number of 16-bit limbs (modulus < 2^(16*nlimb))
+    name: str = "F"
+    # derived (host numpy) constants
+    m_limbs: np.ndarray = dc_field(init=False, repr=False, compare=False)
+    inv16: int = dc_field(init=False, repr=False, compare=False)
+    r_mod: int = dc_field(init=False, repr=False, compare=False)  # 2^(16K) mod m
+    r2_limbs: np.ndarray = dc_field(init=False, repr=False, compare=False)
+    one_mont_limbs: np.ndarray = dc_field(init=False, repr=False, compare=False)
+    # fold table: 2^(16*(K+j)) mod m for j in 0..K  (for wide reduction)
+    fold: np.ndarray = dc_field(init=False, repr=False, compare=False)
+
+    def __post_init__(self):
+        k, m = self.nlimb, self.modulus
+        object.__setattr__(self, "m_limbs", lb.int_to_limbs(m, k))
+        object.__setattr__(self, "inv16", (-pow(m, -1, 1 << 16)) % (1 << 16))
+        r = pow(2, 16 * k, m)
+        object.__setattr__(self, "r_mod", r)
+        object.__setattr__(self, "r2_limbs", lb.int_to_limbs(r * r % m, k))
+        object.__setattr__(self, "one_mont_limbs", lb.int_to_limbs(r, k))
+        fold = np.stack(
+            [lb.int_to_limbs(pow(2, 16 * (k + j), m), k) for j in range(k + 2)]
+        )
+        object.__setattr__(self, "fold", fold)
+
+    # -- host codecs -------------------------------------------------------
+    def enc(self, xs):
+        """ints -> canonical-form (K, N) device array (NOT Montgomery)."""
+        return jnp.asarray(lb.ints_to_limbs_batch([x % self.modulus for x in xs], self.nlimb))
+
+    def dec(self, arr):
+        """(K, N) limb array (canonical) -> list of ints."""
+        return lb.limbs_batch_to_ints(np.asarray(arr))
+
+
+# BLS12-381 scalar field (Fr) and base field (Fp)
+FR = FieldSpec(
+    modulus=0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+    nlimb=16,
+    name="Fr",
+)
+FP = FieldSpec(
+    modulus=0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
+    nlimb=24,
+    name="Fp",
+)
+
+
+def zeros(spec: FieldSpec, batch_shape=()):
+    return jnp.zeros((spec.nlimb,) + tuple(batch_shape), dtype=U32)
+
+
+def ones_mont(spec: FieldSpec, batch_shape=()):
+    col = jnp.asarray(spec.one_mont_limbs).reshape(
+        (spec.nlimb,) + (1,) * len(batch_shape)
+    )
+    return jnp.broadcast_to(col, (spec.nlimb,) + tuple(batch_shape)).astype(U32)
+
+
+# ---------------------------------------------------------------------------
+# Add / sub / neg (canonical in, canonical out)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=0)
+def add(spec: FieldSpec, a, b):
+    k = spec.nlimb
+    s = a + b  # limbs < 2^17
+    ext = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], U32)], axis=0)
+    ext = lb.carry_exact(ext)  # value < 2m fits in K+1 limbs
+    # conditional subtract m over K+1 limbs
+    m_ext = np.concatenate([spec.m_limbs, np.zeros(1, np.uint32)])
+    ext = lb.sub_cond(ext, m_ext)
+    return ext[:k]
+
+
+@partial(jax.jit, static_argnums=0)
+def sub(spec: FieldSpec, a, b):
+    k = spec.nlimb
+    m_col = jnp.asarray(spec.m_limbs).reshape((k,) + (1,) * (a.ndim - 1))
+    s = a + m_col  # < 2^17, value = a + m
+    # subtract b via complement: s + (2^16-1 - b) + 1 == a + m - b + 2^(16K)
+    comp = (MASK16 - b).astype(U32)
+    t = s + comp
+    t = t.at[0].add(1)
+    ext = jnp.concatenate([t, jnp.zeros((1,) + t.shape[1:], U32)], axis=0)
+    ext = lb.carry_exact(ext)
+    res = ext[:k]  # drop the 2^(16K) bias limb: value = a + m - b < 2m
+    res = lb.sub_cond(res, spec.m_limbs)
+    return res
+
+
+def neg(spec: FieldSpec, a):
+    return sub(spec, zeros(spec, a.shape[1:]), a)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiply
+# ---------------------------------------------------------------------------
+
+
+def _acc_split(acc):
+    """One lazy-carry split: keeps accumulator limbs < 2^17."""
+    return (acc & MASK16) + lb._shift_up(acc >> 16)
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(spec: FieldSpec, a, b):
+    """(a * b * 2^-(16K)) mod m, canonical in/out. Broadcasts over batch dims.
+
+    Both phases run as lax.fori_loop so each traces once (the MSM/curve
+    layers compose thousands of these; unrolled limb loops made XLA graphs
+    ~100x larger and CPU compiles took minutes)."""
+    k = spec.nlimb
+    a, b = jnp.broadcast_arrays(a, b)
+    bshape = a.shape[1:]
+    acc = jnp.zeros((2 * k + 1,) + bshape, dtype=U32)
+    m_col = jnp.asarray(spec.m_limbs).reshape((k,) + (1,) * len(bshape))
+    inv16 = U32(spec.inv16)
+
+    # ---- product phase: acc = a * b (redundant limbs < 2^17)
+    def prod_step(j, acc):
+        p = a * b[j][None, ...]  # (K, ...) exact 32-bit products
+        chunk = jax.lax.dynamic_slice_in_dim(acc, j, k + 1, axis=0)
+        pad = jnp.zeros((1,) + bshape, U32)
+        chunk = chunk + jnp.concatenate([p & MASK16, pad], axis=0)
+        chunk = chunk + jnp.concatenate([pad, p >> 16], axis=0)
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, chunk, j, axis=0)
+        return _acc_split(acc)
+
+    acc = jax.lax.fori_loop(0, k, prod_step, acc)
+
+    # ---- reduction phase: 16-bit Montgomery steps
+    def red_step(i, acc):
+        mi = (acc[i] * inv16) & MASK16  # low 16 bits correct despite wrap
+        p = m_col * mi[None, ...]
+        chunk = jax.lax.dynamic_slice_in_dim(acc, i, k + 1, axis=0)
+        pad = jnp.zeros((1,) + bshape, U32)
+        chunk = chunk + jnp.concatenate([p & MASK16, pad], axis=0)
+        chunk = chunk + jnp.concatenate([pad, p >> 16], axis=0)
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, chunk, i, axis=0)
+        return _acc_split(acc)
+
+    acc = jax.lax.fori_loop(0, k, red_step, acc)
+
+    res = acc[k : 2 * k + 1]  # K+1 limbs, value < 2m
+    res = lb.carry_exact(res)
+    m_ext = np.concatenate([spec.m_limbs, np.zeros(1, np.uint32)])
+    res = lb.sub_cond(res, m_ext)
+    return res[:k]
+
+
+def mont_sq(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, a):
+    r2 = jnp.asarray(spec.r2_limbs).reshape((spec.nlimb,) + (1,) * (a.ndim - 1))
+    return mont_mul(spec, a, r2)
+
+
+def from_mont(spec: FieldSpec, a):
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(spec, a, one)
+
+
+def pow_const(spec: FieldSpec, a, e: int):
+    """Batched a^e (fixed public exponent), Montgomery form, via lax.scan.
+
+    One square + one (masked) multiply per bit — traced once, scanned over
+    the bit string, so trace/compile cost is O(1) in the exponent length.
+    """
+    bits = [int(c) for c in bin(e)[2:]]
+    bits_arr = jnp.asarray(np.array(bits, dtype=np.uint32))
+
+    def body(result, bit):
+        result = mont_sq(spec, result)
+        mul = mont_mul(spec, result, a)
+        result = jnp.where(bit > 0, mul, result)
+        return result, None
+
+    init = ones_mont(spec, a.shape[1:])
+    out, _ = jax.lax.scan(body, init, bits_arr)
+    return out
+
+
+def inv(spec: FieldSpec, a):
+    """Batched inverse via Fermat: a^(m-2), in Montgomery form.
+
+    Used for Jacobian->affine normalization; not a hot path. inv(0) = 0.
+    """
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+# ---------------------------------------------------------------------------
+# Wide reduction (for segment sums of Montgomery values)
+# ---------------------------------------------------------------------------
+
+
+_MSHIFT_CACHE: dict = {}
+
+
+def _m_shift_table(spec: FieldSpec, width: int, jmax: int) -> np.ndarray:
+    key = (spec.name, width, jmax)
+    tab = _MSHIFT_CACHE.get(key)
+    if tab is None:
+        tab = np.stack(
+            [lb.int_to_limbs(spec.modulus << j, width) for j in range(jmax + 1)]
+        )
+        _MSHIFT_CACHE[key] = tab
+    return tab
+
+
+def _fold_pass(spec: FieldSpec, ext):
+    """Fold all limbs above K back into K+2 limbs: limb(K+t) -> * (2^(16(K+t)) mod m)."""
+    k = spec.nlimb
+    top = ext[k:]
+    base = ext[:k]
+    acc = jnp.concatenate([base, jnp.zeros((2,) + base.shape[1:], U32)], axis=0)
+    for t in range(top.shape[0]):
+        f = jnp.asarray(spec.fold[t]).reshape((k,) + (1,) * (base.ndim - 1))
+        p = f * top[t][None, ...]
+        acc = acc.at[:k].add(p & MASK16)
+        acc = acc.at[1 : k + 1].add(p >> 16)
+        acc = _acc_split(acc)
+    return lb.carry_exact(acc)  # (K+2, ...), exact 16-bit limbs
+
+
+@partial(jax.jit, static_argnums=0)
+def reduce_wide(spec: FieldSpec, acc):
+    """Reduce a redundant accumulator (J >= K limbs, any uint32 values) mod m.
+
+    Input value = sum limb_j * 2^(16 j); output canonical (K, ...) limbs.
+    Stays in whatever (Montgomery) domain the inputs were in. Used after
+    limb-wise segment sums (sparse mat-vec, MLE folds) where many field
+    elements are added without intermediate modular reduction.
+
+    Bound analysis: two fold passes bring the value under ~2^18 * m; a fixed
+    ladder of conditional subtracts of m<<j (j = 19..0) then lands in [0, m).
+    """
+    k = spec.nlimb
+    # exact-carry into J+2 limbs
+    ext = jnp.concatenate([acc, jnp.zeros((2,) + acc.shape[1:], U32)], axis=0)
+    ext = lb.carry_exact(ext)
+    ext = _fold_pass(spec, ext)  # K+2 limbs
+    ext = _fold_pass(spec, ext)  # value < 2^(16K) + 2*2^16*m < 2^18 * m
+    mshift = _m_shift_table(spec, k + 2, 19)
+    for j in range(19, -1, -1):
+        ext = lb.sub_cond(ext, mshift[j])
+    return ext[:k]
+
+
+# ---------------------------------------------------------------------------
+# Host codecs (Montgomery domain)
+# ---------------------------------------------------------------------------
+
+
+def encode_ints(spec: FieldSpec, xs):
+    """ints -> canonical (non-Montgomery) device limbs (K, N)."""
+    return spec.enc(xs)
+
+
+def decode_ints(spec: FieldSpec, arr):
+    return spec.dec(arr)
+
+
+def encode_mont(spec: FieldSpec, xs):
+    """ints -> Montgomery-form device limbs (K, N). Host-side multiply."""
+    m, r = spec.modulus, spec.r_mod
+    return spec.enc([x % m * r % m for x in xs])
+
+
+def decode_mont(spec: FieldSpec, arr):
+    """Montgomery-form limbs -> ints (host-side divide by R)."""
+    m, r = spec.modulus, spec.r_mod
+    rinv = pow(r, -1, m)
+    return [x * rinv % m for x in spec.dec(arr)]

@@ -1,0 +1,201 @@
+"""Multi-scalar multiplication kernels (variable-base Pippenger + fixed-base).
+
+TPU-native equivalent of ``ark-ec``'s ``VariableBaseMSM::multi_scalar_mul``
+(reference use: the commit MSM src/commitment/commit.rs:25, the opening MSMs
+src/commitment/open.rs:49) and ``FixedBaseMSM`` (keygen
+src/commitment/setup.rs:61-69, verifier src/commitment/verify.rs:21-24).
+
+The reference runs a serial bucket-method Pippenger on one CPU core. The TPU
+rebuild keeps Pippenger's window/bucket structure but replaces the serial
+bucket scatter with a data-oblivious pipeline per window:
+
+  1. digit extraction from 16-bit scalar limbs (c-bit windows),
+  2. argsort points by digit (XLA sort),
+  3. inclusive *segmented scan* with the Jacobian group law as combiner
+     (Hillis-Steele distance doubling: log2(N) full-width batched point adds),
+  4. segment-end extraction -> conflict-free scatter into 2^c buckets,
+  5. classic suffix-sum bucket reduction as a lax.scan (2^c tiny steps),
+
+with the window loop itself a lax.scan (digits are the scanned input) so the
+whole MSM jits into one compact program. Infinity handling is Z=0 lane
+selects throughout — no data-dependent control flow.
+
+Work: ~log2(N) * ceil(256/c) full-width batched adds. (A two-level scan that
+cuts this to O(N) total adds is the planned optimization; see notes in
+PROGRESS/bench docs.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spartan_tpu.ops import curve as cv
+from spartan_tpu.ops.curve import PointBatch
+
+__all__ = ["msm", "fixed_base_msm", "digits_from_limbs"]
+
+
+def digits_from_limbs(scalars, c: int):
+    """(16, N) canonical 16-bit limbs -> (nw, N) int32 c-bit digits, LSB window first.
+
+    c must divide 16 (4, 8, or 16).
+    """
+    assert 16 % c == 0
+    per_limb = 16 // c
+    k, n = scalars.shape
+    nw = k * per_limb
+    digs = []
+    mask = jnp.uint32((1 << c) - 1)
+    for w in range(nw):
+        limb = scalars[w // per_limb]
+        sh = (w % per_limb) * c
+        digs.append(((limb >> sh) & mask).astype(jnp.int32))
+    return jnp.stack(digs)  # (nw, N)
+
+
+def _tree_take(p: PointBatch, idx) -> PointBatch:
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=-1), p)
+
+
+def _tree_roll_masked(p: PointBatch, dist, fill: PointBatch, n: int) -> PointBatch:
+    """out[i] = p[i - dist] for i >= dist else fill[i]; dist may be traced.
+
+    Implemented as a circular roll plus a lane mask so the shift distance can
+    be a loop-carried value inside lax.fori_loop (keeps the scan body traced
+    once instead of unrolled per distance)."""
+    lane = jnp.arange(n)
+    valid = lane >= dist  # (n,)
+
+    def sh(a, fa):
+        rolled = jnp.roll(a, dist, axis=-1)
+        return jnp.where(valid, rolled, fa)
+
+    return jax.tree_util.tree_map(sh, p, fill)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatch:
+    """Pippenger MSM: sum_i scalars[i] * points[i].
+
+    points: PointBatch batched over N (Jacobian, Montgomery coords).
+    scalars: (16, N) canonical (non-Montgomery) Fr limbs.
+    fname: "fp" (G1) or "fp2" (G2). Returns a single Jacobian point (batch 1).
+    """
+    f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
+    n = scalars.shape[1]
+    digits = digits_from_limbs(scalars, c)  # (nw, N)
+    nw = digits.shape[0]
+    nbuckets = 1 << c
+    logn = max(1, (n - 1).bit_length())
+
+    inf_n = cv.infinity(f, n)
+    inf_b = cv.infinity(f, nbuckets)
+    inf_1 = cv.infinity(f, 1)
+
+    def window_sum(d):
+        """Bucket-accumulate one window's digits; returns single point (batch 1)."""
+        order = jnp.argsort(d)
+        ds = jnp.take(d, order)
+        ps = _tree_take(points, order)
+        # segment starts: first element, or digit change
+        prev_d = jnp.concatenate([ds[:1] - 1, ds[:-1]])
+        seg_start = ds != prev_d  # (N,) bool
+
+        # Hillis-Steele segmented inclusive scan with point-add combiner:
+        # state: (acc points, reached_start flags). fori_loop keeps the
+        # point-add body traced once (distance is a traced value via roll).
+        lane = jnp.arange(n)
+
+        def hs_step(s, state):
+            acc, reached = state
+            dist = jnp.int32(1) << s
+            shifted = _tree_roll_masked(acc, dist, inf_n, n)
+            r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
+            take = ~reached  # lanes that still extend into the left neighbor
+            cand = cv.add(f, shifted, acc)
+            new_acc = cv.select_point(f, take, cand, acc)
+            new_reached = reached | r_shift
+            return new_acc, new_reached
+
+        acc, reached = jax.lax.fori_loop(0, logn, hs_step, (ps, seg_start))
+
+        # segment ends: next element starts a new segment (or last element)
+        next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
+        # scatter segment totals into buckets (conflict-free: unique digits)
+        idx = jnp.where(next_start, ds, nbuckets)  # out-of-range -> dropped
+        buckets = jax.tree_util.tree_map(
+            lambda b, a: b.at[..., idx].set(a, mode="drop"),
+            inf_b,
+            acc,
+        )
+        # suffix-sum bucket reduction: W = sum_b b * S_b, scanning b = 2^c-1 .. 1
+        def bucket_step(carry, b_idx):
+            running, accum = carry
+            sb = _tree_take(buckets, b_idx[None])  # batch-1 point
+            running = cv.add(f, running, sb)
+            accum = cv.add(f, accum, running)
+            return (running, accum), None
+
+        b_indices = jnp.arange(nbuckets - 1, 0, -1, dtype=jnp.int32)
+        (_, wsum), _ = jax.lax.scan(bucket_step, (inf_1, inf_1), b_indices)
+        return wsum
+
+    def window_step(result, d):
+        # result holds the higher windows; shift left by c bits then add
+        result = jax.lax.fori_loop(0, c, lambda _, r: cv.double(f, r), result)
+        wsum = window_sum(d)
+        result = cv.add(f, result, wsum)
+        return result, None
+
+    result, _ = jax.lax.scan(window_step, inf_1, digits[::-1])
+    return result
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def fixed_base_msm(table: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatch:
+    """Windowed fixed-base exponentiation: out[i] = scalars[i] * G.
+
+    table: PointBatch of shape (..., nw * 2^c): precomputed
+    ``table[w * 2^c + d] = d * 2^(c*w) * G`` (built host-side by
+    ``fixed_base_table``). scalars: (16, N) canonical limbs.
+    Returns PointBatch batched over N. Work: nw batched adds total.
+    """
+    f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
+    n = scalars.shape[1]
+    digits = digits_from_limbs(scalars, c)  # (nw, N)
+    nw = digits.shape[0]
+    nbuckets = 1 << c
+
+    def step(acc, wd):
+        w, d = wd
+        idx = w * nbuckets + d  # (N,)
+        g = _tree_take(table, idx)
+        return cv.add(f, acc, g), None
+
+    ws = jnp.arange(nw, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(step, cv.infinity(f, n), (ws, digits))
+    return acc
+
+
+def fixed_base_table_host(base_pt, ops, c: int = 8, nbits: int = 256):
+    """Host: build the fixed-base window table [d * 2^(c w) * G] as affine points.
+
+    base_pt: host affine point; ops: host CurveOps (G1 or G2).
+    Returns list of length (nbits // c) * 2^c (None = infinity).
+    """
+    nw = nbits // c
+    out = []
+    window_base = base_pt
+    for _ in range(nw):
+        acc = None
+        for _d in range(1 << c):
+            out.append(acc)
+            acc = ops.add(acc, window_base)
+        # next window base: 2^c * current
+        for _ in range(c):
+            window_base = ops.double(window_base)
+    return out

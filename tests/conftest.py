@@ -3,13 +3,23 @@
 Multi-chip TPU hardware is not available in CI; sharding tests use XLA's
 host-platform device virtualization instead (the driver separately dry-runs
 the multi-chip path via __graft_entry__.dryrun_multichip).
+
+Note: the ambient environment pins JAX_PLATFORMS=axon (the remote TPU
+tunnel), so we must override it explicitly — setdefault is not enough — and
+do it before jax initializes a backend.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
