@@ -141,8 +141,19 @@ def is_infinity(f: FieldAdapter, p: PointBatch):
     return f.is_zero(p.z)
 
 
+def _pallas_ok(p: PointBatch) -> bool:
+    leaf = p.x if not isinstance(p.x, tuple) else p.x[0]
+    return fo._use_pallas() and getattr(leaf, "ndim", 0) == 2
+
+
 def double(f: FieldAdapter, p: PointBatch) -> PointBatch:
     """dbl-2009-l, a=0. Maps infinity to infinity (Z stays 0)."""
+    if _pallas_ok(p):
+        from spartan_tpu.ops import pallas_curve
+
+        return (
+            pallas_curve.g1_double(p) if f.name == "fp" else pallas_curve.g2_double(p)
+        )
     a = f.sq(p.x)
     b = f.sq(p.y)
     c = f.sq(b)
@@ -159,6 +170,10 @@ def double(f: FieldAdapter, p: PointBatch) -> PointBatch:
 
 def add(f: FieldAdapter, p: PointBatch, q: PointBatch) -> PointBatch:
     """Complete-by-selects Jacobian add: handles P=inf, Q=inf, P=Q, P=-Q."""
+    if _pallas_ok(p) and _pallas_ok(q):
+        from spartan_tpu.ops import pallas_curve
+
+        return pallas_curve.g1_add(p, q) if f.name == "fp" else pallas_curve.g2_add(p, q)
     z1z1 = f.sq(p.z)
     z2z2 = f.sq(q.z)
     u1 = f.mul(p.x, z2z2)

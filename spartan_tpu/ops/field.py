@@ -118,8 +118,35 @@ def ones_mont(spec: FieldSpec, batch_shape=()):
 # ---------------------------------------------------------------------------
 
 
+_USE_PALLAS = None
+
+
+def _use_pallas() -> bool:
+    """Route hot ops through the fused Pallas kernels on TPU.
+
+    SPARTAN_PALLAS=0/1 forces off/on (1 uses interpret mode on CPU, for
+    cross-checking the kernels in tests); default: on for TPU backends.
+    """
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        import os
+
+        env = os.environ.get("SPARTAN_PALLAS", "auto")
+        if env == "0":
+            _USE_PALLAS = False
+        elif env == "1":
+            _USE_PALLAS = True
+        else:
+            _USE_PALLAS = jax.default_backend() != "cpu"
+    return _USE_PALLAS
+
+
 @partial(jax.jit, static_argnums=0)
 def add(spec: FieldSpec, a, b):
+    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+        from spartan_tpu.ops import pallas_field
+
+        return pallas_field.add(spec, a, b)
     k = spec.nlimb
     s = a + b  # limbs < 2^17
     ext = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], U32)], axis=0)
@@ -132,6 +159,10 @@ def add(spec: FieldSpec, a, b):
 
 @partial(jax.jit, static_argnums=0)
 def sub(spec: FieldSpec, a, b):
+    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+        from spartan_tpu.ops import pallas_field
+
+        return pallas_field.sub(spec, a, b)
     k = spec.nlimb
     m_col = jnp.asarray(spec.m_limbs).reshape((k,) + (1,) * (a.ndim - 1))
     s = a + m_col  # < 2^17, value = a + m
@@ -167,10 +198,17 @@ def mont_mul(spec: FieldSpec, a, b):
     Both phases run as lax.fori_loop so each traces once (the MSM/curve
     layers compose thousands of these; unrolled limb loops made XLA graphs
     ~100x larger and CPU compiles took minutes)."""
+    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+        from spartan_tpu.ops import pallas_field
+
+        return pallas_field.mont_mul(spec, a, b)
     k = spec.nlimb
     a, b = jnp.broadcast_arrays(a, b)
     bshape = a.shape[1:]
-    acc = jnp.zeros((2 * k + 1,) + bshape, dtype=U32)
+    # derive the accumulator from `a` so it inherits shard_map varying axes
+    # (a plain jnp.zeros carry breaks lax loops under shard_map)
+    zero_k = jnp.zeros_like(a)
+    acc = jnp.concatenate([zero_k, zero_k, zero_k[:1]], axis=0)
     m_col = jnp.asarray(spec.m_limbs).reshape((k,) + (1,) * len(bshape))
     inv16 = U32(spec.inv16)
 
@@ -235,7 +273,8 @@ def pow_const(spec: FieldSpec, a, e: int):
         result = jnp.where(bit > 0, mul, result)
         return result, None
 
-    init = ones_mont(spec, a.shape[1:])
+    # + a*0: inherit shard_map varying axes from the input
+    init = ones_mont(spec, a.shape[1:]) + a * 0
     out, _ = jax.lax.scan(body, init, bits_arr)
     return out
 

@@ -92,9 +92,17 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
     nbuckets = 1 << c
     logn = max(1, (n - 1).bit_length())
 
-    inf_n = cv.infinity(f, n)
-    inf_b = cv.infinity(f, nbuckets)
-    inf_1 = cv.infinity(f, 1)
+    # infinities derived from `points` so lax-loop carries inherit shard_map
+    # varying axes (plain constants break scan typechecking under shard_map)
+    def _zeros_sized(size: int) -> PointBatch:
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape[:-1] + (size,), a.dtype) + a[..., :1] * 0,
+            points,
+        )
+
+    inf_n = _zeros_sized(n)
+    inf_b = _zeros_sized(nbuckets)
+    inf_1 = _zeros_sized(1)
 
     def window_sum(d):
         """Bucket-accumulate one window's digits; returns single point (batch 1)."""
@@ -177,7 +185,10 @@ def fixed_base_msm(table: PointBatch, scalars, fname: str = "fp", c: int = 8) ->
         return cv.add(f, acc, g), None
 
     ws = jnp.arange(nw, dtype=jnp.int32)
-    acc, _ = jax.lax.scan(step, cv.infinity(f, n), (ws, digits))
+    init = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape[:-1] + (n,), a.dtype) + a[..., :1] * 0, table
+    )
+    acc, _ = jax.lax.scan(step, init, (ws, digits))
     return acc
 
 

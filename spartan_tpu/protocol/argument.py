@@ -1,0 +1,166 @@
+"""Non-interactive argument driver (L5) — reference src/lib.rs.
+
+``MLArgumentForR1CS.{setup, index, prove, verify}``: seeds the Fiat–Shamir
+RNG with the serialized A, B, C matrices and the public input (lib.rs:61-65),
+alternates prover rounds with transcript-derived verifier messages
+(re-feeding every prover message, lib.rs:74-134), and assembles/consumes the
+Proof container. The verifier replays the identical transcript (lib.rs:147+).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from spartan_tpu.commitment import PublicParameter, VerifierParameter, keygen
+from spartan_tpu.models.r1cs import Matrix
+from spartan_tpu.protocol import prover as pr
+from spartan_tpu.protocol import verifier as vr
+from spartan_tpu.protocol.indexer import IndexPK, IndexVK, index as _index
+from spartan_tpu.protocol.proof import Proof
+from spartan_tpu.utils import serialize as ser
+from spartan_tpu.utils.errors import invalid_arg
+from spartan_tpu.utils.timers import span
+from spartan_tpu.utils.transcript import Blake2sRng
+
+
+class MLArgumentForR1CS:
+    """Non-interactive Spartan argument for R1CS over BLS12-381."""
+
+    # -- setup / index -----------------------------------------------------
+    @staticmethod
+    def setup(nv: int, rng) -> Tuple[PublicParameter, VerifierParameter]:
+        """Trusted setup; discards the trapdoor (reference ahp/setup.rs:13-16).
+
+        rng: anything with sample_fr() — e.g. utils.transcript.Blake2sRng or a
+        test RNG.
+        """
+        pp, vp, _t = keygen(nv, rng)
+        return pp, vp
+
+    @staticmethod
+    def index(matrix_a: Matrix, matrix_b: Matrix, matrix_c: Matrix) -> IndexPK:
+        return _index(matrix_a, matrix_b, matrix_c)
+
+    # -- prove -------------------------------------------------------------
+    @staticmethod
+    def prove(pk: IndexPK, v: List[int], w: List[int], pp: PublicParameter) -> Proof:
+        log_n = pk.log_n
+        fs = Blake2sRng.setup()
+        fs.feed(pk.matrix_a.serialize())
+        fs.feed(pk.matrix_b.serialize())
+        fs.feed(pk.matrix_c.serialize())
+        fs.feed(ser.ser_fr_vec(v))
+        log_v = len(v).bit_length() - 1
+
+        ps = pr.prover_init(pk, v, w)
+
+        with span("Prove 1"):
+            ps, pm1 = pr.prover_first_round(ps, pp)
+        fs.feed(pm1.serialize())
+        r_v = fs.sample_fr_vec(log_v)
+
+        with span("Prove 2"):
+            ps, pm2 = pr.prover_second_round(ps, r_v, pp)
+        fs.feed(pm2.serialize())
+        tor = fs.sample_fr_vec(log_n)
+
+        with span("Prove 3"):
+            ps, pm3 = pr.prover_third_round(ps, tor)
+        fs.feed(pm3.serialize())
+
+        with span("Prove Sumcheck 1"):
+            sc1_msgs = []
+            v_msg = None
+            for _ in range(log_n - 1):
+                ps, pm = pr.prove_first_sumcheck_round(ps, v_msg)
+                fs.feed(pm.serialize())
+                sc1_msgs.append(pm)
+                v_msg = vr.sample_verify_first_sumcheck_ongoing_round(fs)
+            ps, pm = pr.prove_first_sumcheck_round(ps, v_msg)
+        fs.feed(pm.serialize())
+        sc1_msgs.append(pm)
+        vm3 = vr.sample_verify_first_sumcheck_final_round(fs)
+
+        with span("Prove 4"):
+            ps, pm4 = pr.prove_fourth_round(ps, vm3.last_random_point)
+        fs.feed(pm4.serialize())
+        vm4 = vr.sample_verify_fourth_round(fs)
+
+        with span("Prove 5"):
+            ps, pm5 = pr.prove_fifth_round(ps, vm4.r_a, vm4.r_b, vm4.r_c)
+        fs.feed(pm5.serialize())
+
+        with span("Prove Sumcheck 2"):
+            sc2_msgs = []
+            v_msg = None
+            for _ in range(log_n - 1):
+                ps, pm = pr.prove_second_sumcheck_round(ps, v_msg)
+                fs.feed(pm.serialize())
+                sc2_msgs.append(pm)
+                v_msg = vr.sample_verify_second_sumcheck_ongoing_round(fs)
+            ps, pm = pr.prove_second_sumcheck_round(ps, v_msg)
+        fs.feed(pm.serialize())
+        sc2_msgs.append(pm)
+        vm5 = vr.sample_verify_second_sumcheck_final_round(fs)
+
+        with span("Prove 6"):
+            pm6 = pr.prove_sixth_round(ps, vm5.last_random_point, pp)
+
+        return Proof(
+            prover_first_message=pm1,
+            prover_second_message=pm2,
+            prover_third_message=pm3,
+            first_sumcheck_messages=sc1_msgs,
+            prover_fourth_message=pm4,
+            prover_fifth_message=pm5,
+            second_sumcheck_messages=sc2_msgs,
+            prover_sixth_message=pm6,
+        )
+
+    # -- verify ------------------------------------------------------------
+    @staticmethod
+    def verify(vk: IndexVK, v: List[int], proof: Proof, vp: VerifierParameter) -> bool:
+        log_n = vk.log_n
+        sc1 = list(proof.first_sumcheck_messages)
+        sc2 = list(proof.second_sumcheck_messages)
+        if len(sc1) != log_n or len(sc2) != log_n:
+            raise invalid_arg("malformed sumcheck message")
+
+        fs = Blake2sRng.setup()
+        fs.feed(vk.matrix_a.serialize())
+        fs.feed(vk.matrix_b.serialize())
+        fs.feed(vk.matrix_c.serialize())
+        fs.feed(ser.ser_fr_vec(v))
+
+        vs = vr.verifier_init(vk, v)
+
+        fs.feed(proof.prover_first_message.serialize())
+        vs, _ = vr.verify_first_round(vs, proof.prover_first_message, fs)
+
+        fs.feed(proof.prover_second_message.serialize())
+        vs, _ = vr.verify_second_round(vs, proof.prover_second_message, fs)
+
+        fs.feed(proof.prover_third_message.serialize())
+        vs, _ = vr.verify_third_round(vs, proof.prover_third_message)
+
+        for i in range(log_n - 1):
+            fs.feed(sc1[i].serialize())
+            vs, _ = vr.verify_first_sumcheck_ongoing_round(vs, sc1[i], fs)
+        fs.feed(sc1[log_n - 1].serialize())
+        vs, _ = vr.verify_first_sumcheck_final_round(vs, sc1[log_n - 1], fs)
+
+        fs.feed(proof.prover_fourth_message.serialize())
+        vs, _ = vr.verify_fourth_round(vs, proof.prover_fourth_message, fs)
+
+        fs.feed(proof.prover_fifth_message.serialize())
+        vs, _ = vr.verify_fifth_round(vs, proof.prover_fifth_message)
+
+        for i in range(log_n - 1):
+            fs.feed(sc2[i].serialize())
+            vs, _ = vr.verify_second_sumcheck_ongoing_round(vs, sc2[i], fs)
+        fs.feed(sc2[log_n - 1].serialize())
+        vs, _ = vr.verify_second_sumcheck_final_round(vs, sc2[log_n - 1], fs)
+
+        fs.feed(proof.prover_sixth_message.serialize())
+        with span("Verify 6"):
+            return vr.verify_sixth_round(vs, proof.prover_sixth_message, vp)

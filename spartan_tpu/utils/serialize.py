@@ -50,7 +50,22 @@ def ser_fr_vec(xs) -> bytes:
 
 def ser_matrix(rows) -> bytes:
     """Matrix<Fr> = Vec<Vec<(Fr, usize)>> (reference: ark_relations Matrix,
-    absorbed whole into the FS transcript at src/lib.rs:62-64)."""
+    absorbed whole into the FS transcript at src/lib.rs:62-64).
+
+    Uses the native C++ serializer when available (O(nnz) bytes is the hot
+    host path for large circuits); pure-Python fallback is bit-identical."""
+    try:
+        from spartan_tpu.host.native import ser_matrix_native
+
+        fast = ser_matrix_native(rows)
+        if fast is not None:
+            return fast
+    except Exception:
+        pass
+    return ser_matrix_py(rows)
+
+
+def ser_matrix_py(rows) -> bytes:
     out = [ser_u64(len(rows))]
     for row in rows:
         out.append(ser_u64(len(row)))

@@ -35,9 +35,23 @@ def _blake2s(data: bytes) -> bytes:
 
 
 class Blake2sRng:
-    """Feedable Fiat–Shamir RNG (host-side)."""
+    """Feedable Fiat–Shamir RNG (host-side).
+
+    Uses the native C++ runtime (host/native.py) when available — bit-
+    identical to this pure-Python implementation (cross-checked in tests) —
+    because transcript absorption is O(serialized matrix bytes).
+    """
 
     def __init__(self):
+        self._native = None
+        try:
+            from spartan_tpu.host import native as _nat
+
+            lib = _nat.load()
+            if lib is not None:
+                self._native = _nat.NativeFsRng(lib)
+        except Exception:
+            self._native = None
         self._state = _blake2s(b"")
         self._counter = 0
         self._buffer = b""
@@ -48,6 +62,9 @@ class Blake2sRng:
 
     def feed(self, data: bytes) -> None:
         """Absorb serialized bytes (CanonicalSerialize output)."""
+        if self._native is not None:
+            self._native.feed(data)
+            return
         self._state = _blake2s(self._state + data)
         self._counter = 0
         self._buffer = b""
@@ -59,6 +76,8 @@ class Blake2sRng:
         self._buffer += block
 
     def next_bytes(self, n: int) -> bytes:
+        if self._native is not None:
+            return self._native.next_bytes(n)
         while len(self._buffer) < n:
             self._refill()
         out, self._buffer = self._buffer[:n], self._buffer[n:]
