@@ -61,7 +61,7 @@ def rust_single_core_estimate_s(log_n: int, nnz: int) -> float:
 
 
 def main():
-    log_n = int(os.environ.get("SPARTAN_BENCH_LOGN", "10"))
+    log_n = int(os.environ.get("SPARTAN_BENCH_LOGN", "12"))
     reps = int(os.environ.get("SPARTAN_BENCH_REPS", "1"))
     log_v = 2
     rng = random.Random(0)
@@ -82,8 +82,17 @@ def main():
         def sample_fr(self):
             return self._r.randrange(hf.R)
 
+    # cache setup keys on disk (mirrors the reference's benchmark_cached_keys
+    # file, src/commitment/mod.rs:52-62) so repeat benches skip keygen
+    from spartan_tpu.commitment import persist
+
+    cache = f"/root/.cache/spartan_bench_keys_{log_n}.npz"
     t0 = time.perf_counter()
-    pp, vp = MLArgumentForR1CS.setup(log_n, _Rng(42))
+    if os.path.exists(cache):
+        pp, vp = persist.load_keys(cache)
+    else:
+        pp, vp = MLArgumentForR1CS.setup(log_n, _Rng(42))
+        persist.save_keys(cache, pp, vp)
     setup_s = time.perf_counter() - t0
 
     pk = MLArgumentForR1CS.index(a, b, c)

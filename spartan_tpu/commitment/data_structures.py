@@ -26,6 +26,11 @@ class PublicParameter:
     powers_of_h: List[PointBatch]  # level i: G2 batch of size 2^(nv-i)
     g: tuple  # host affine G1
     h: tuple  # host affine G2
+    # Pairwise-combined opening bases: comb[i][j] = H_i[2j] + H_i[2j+1].
+    # The reference's open duplicates each quotient scalar across a base pair
+    # (open.rs:46-48); an MSM over combined bases is algebraically identical
+    # at half the points. Precomputed once at keygen.
+    powers_of_h_comb: Optional[List[PointBatch]] = None
 
 
 @dataclass

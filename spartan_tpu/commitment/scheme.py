@@ -23,6 +23,7 @@ from __future__ import annotations
 import random
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from spartan_tpu.host import field as hf
@@ -68,6 +69,22 @@ def _normalize_g2(batch: cv.PointBatch) -> cv.PointBatch:
     return cv.PointBatch(x, y, z)
 
 
+def _combine_pairs_g2(pb: cv.PointBatch) -> cv.PointBatch:
+    """comb[j] = P[2j] + P[2j+1] (Jacobian) for opening-MSM base halving."""
+
+    def split(a):
+        k, n = a.shape
+        pr = a.reshape(k, n // 2, 2)
+        return pr[:, :, 0], pr[:, :, 1]
+
+    ex0, ox0 = split(pb.x[0]); ex1, ox1 = split(pb.x[1])
+    ey0, oy0 = split(pb.y[0]); ey1, oy1 = split(pb.y[1])
+    ez0, oz0 = split(pb.z[0]); ez1, oz1 = split(pb.z[1])
+    even = cv.PointBatch((ex0, ex1), (ey0, ey1), (ez0, ez1))
+    odd = cv.PointBatch((ox0, ox1), (oy0, oy1), (oz0, oz1))
+    return cv.add(cv.G2_FIELD, even, odd)
+
+
 def keygen(nv: int, rng) -> Tuple[PublicParameter, VerifierParameter, List[int]]:
     """Trusted setup. rng must provide sample_fr() (FS RNG or test RNG)."""
     if nv <= 0:
@@ -107,7 +124,13 @@ def keygen(nv: int, rng) -> Tuple[PublicParameter, VerifierParameter, List[int]]
     with span("keygen vp masks"):
         g_mask = [hc.G1.mul(g, ti) for ti in t]
 
-    pp = PublicParameter(nv=nv, powers_of_g=powers_of_g, powers_of_h=powers_of_h, g=g, h=h)
+    with span("keygen combined opening bases"):
+        powers_of_h_comb = [_combine_pairs_g2(pb) for pb in powers_of_h]
+
+    pp = PublicParameter(
+        nv=nv, powers_of_g=powers_of_g, powers_of_h=powers_of_h, g=g, h=h,
+        powers_of_h_comb=powers_of_h_comb,
+    )
     vp = VerifierParameter(nv=nv, g=g, h=h, g_mask_random=g_mask)
     return pp, vp, t
 
@@ -151,9 +174,28 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
             q = fo.sub(FR, odd, even)  # quotient table, size 2^(nv-1-i)
             q_tables.append(q)
             r_table = mle.fold(r_table, point_mont[:, i])
-            # scalars duplicated: s[x] = q[x >> 1]  (open.rs:46-48)
-            scalars = fo.from_mont(FR, jnp.repeat(q, 2, axis=1))
-            pi = msm_mod.msm(pp.powers_of_h[i], scalars, "fp2")
+            if pp.powers_of_h_comb is not None:
+                # MSM over pairwise-combined bases == the reference's
+                # duplicated-scalar MSM (open.rs:46-48) at half the points.
+                scalars = fo.from_mont(FR, q)
+                bases = pp.powers_of_h_comb[i]
+            else:
+                scalars = fo.from_mont(FR, jnp.repeat(q, 2, axis=1))
+                bases = pp.powers_of_h[i]
+            # pad small levels to one shared 128-point program: zero scalars
+            # land in bucket 0 (never accumulated), so padding is identity.
+            m = scalars.shape[1]
+            if m < 128:
+                scalars = jnp.concatenate(
+                    [scalars, jnp.zeros((FR.nlimb, 128 - m), scalars.dtype)], axis=1
+                )
+                bases = jax.tree_util.tree_map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.zeros(a.shape[:-1] + (128 - m,), a.dtype)], axis=-1
+                    ),
+                    bases,
+                )
+            pi = msm_mod.msm(bases, scalars, "fp2")
             proofs.append(cv.g2_decode(pi)[0])
 
     return eval_res, OpenProof(h=pp.h, proofs=proofs), q_tables

@@ -121,6 +121,15 @@ def ones_mont(spec: FieldSpec, batch_shape=()):
 _USE_PALLAS = None
 
 
+def _via_pallas(op, spec, a, b):
+    """Flatten extra batch dims to the 2-D (K, N) kernel layout (elementwise
+    ops are lane-order independent), run the Pallas kernel, restore shape."""
+    a, b = jnp.broadcast_arrays(a, b)
+    shape = a.shape
+    out = op(spec, a.reshape(spec.nlimb, -1), b.reshape(spec.nlimb, -1))
+    return out.reshape(shape)
+
+
 def _use_pallas() -> bool:
     """Route hot ops through the fused Pallas kernels on TPU.
 
@@ -143,10 +152,10 @@ def _use_pallas() -> bool:
 
 @partial(jax.jit, static_argnums=0)
 def add(spec: FieldSpec, a, b):
-    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+    if _use_pallas() and a.ndim >= 2 and b.ndim >= 2:
         from spartan_tpu.ops import pallas_field
 
-        return pallas_field.add(spec, a, b)
+        return _via_pallas(pallas_field.add, spec, a, b)
     k = spec.nlimb
     s = a + b  # limbs < 2^17
     ext = jnp.concatenate([s, jnp.zeros((1,) + s.shape[1:], U32)], axis=0)
@@ -159,10 +168,10 @@ def add(spec: FieldSpec, a, b):
 
 @partial(jax.jit, static_argnums=0)
 def sub(spec: FieldSpec, a, b):
-    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+    if _use_pallas() and a.ndim >= 2 and b.ndim >= 2:
         from spartan_tpu.ops import pallas_field
 
-        return pallas_field.sub(spec, a, b)
+        return _via_pallas(pallas_field.sub, spec, a, b)
     k = spec.nlimb
     m_col = jnp.asarray(spec.m_limbs).reshape((k,) + (1,) * (a.ndim - 1))
     s = a + m_col  # < 2^17, value = a + m
@@ -198,10 +207,10 @@ def mont_mul(spec: FieldSpec, a, b):
     Both phases run as lax.fori_loop so each traces once (the MSM/curve
     layers compose thousands of these; unrolled limb loops made XLA graphs
     ~100x larger and CPU compiles took minutes)."""
-    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+    if _use_pallas() and a.ndim >= 2 and b.ndim >= 2:
         from spartan_tpu.ops import pallas_field
 
-        return pallas_field.mont_mul(spec, a, b)
+        return _via_pallas(pallas_field.mont_mul, spec, a, b)
     k = spec.nlimb
     a, b = jnp.broadcast_arrays(a, b)
     bshape = a.shape[1:]

@@ -46,16 +46,20 @@ __all__ = [
 
 @partial(jax.jit, static_argnums=())
 def fold(table, r):
-    """Fix variable 0 of an MLE table to r: (16, N) -> (16, N//2).
+    """Fix variable 0 of an MLE table to r: (16, ..., N) -> (16, ..., N//2).
 
-    out[b] = t[2b] + r * (t[2b+1] - t[2b])   (Montgomery mul by r (16,) or (16,1)).
+    out[b] = t[2b] + r * (t[2b+1] - t[2b]) (Montgomery mul by r, broadcast).
+    Extra middle axes are instance-batch dims (batched proving); the pairing
+    stays within each instance because the table axis is minor.
     """
-    k, n = table.shape
-    pairs = table.reshape(k, n // 2, 2)
-    even = pairs[:, :, 0]
-    odd = pairs[:, :, 1]
+    k = table.shape[0]
+    n = table.shape[-1]
+    mid = table.shape[1:-1]
+    pairs = table.reshape((k,) + mid + (n // 2, 2))
+    even = pairs[..., 0]
+    odd = pairs[..., 1]
     diff = f.sub(FR, odd, even)
-    r_col = r.reshape(k, 1)
+    r_col = r.reshape((k,) + (1,) * (table.ndim - 1))
     return f.add(FR, even, f.mont_mul(FR, diff, r_col))
 
 
@@ -130,24 +134,25 @@ def eq_suffix_tables(ts_ints):
 
 
 def sum_mod(table):
-    """Sum all entries of a table mod r: (16, N) -> (16, 1) canonical.
+    """Sum a table's last axis mod r: (16, ..., N) -> (16, ..., 1) canonical.
 
     Limb-wise u32 tree reduction in chunks small enough to never overflow
     (chunk <= 2^12 terms of 16-bit limbs < 2^28), with a wide modular
     reduction between stages.
     """
     t = table
-    while t.shape[1] > 1:
-        n = t.shape[1]
+    while t.shape[-1] > 1:
+        n = t.shape[-1]
+        lead = t.shape[:-1]
         chunk = min(4096, n)
         g = n // chunk
         if g * chunk != n:
             # pad with zeros to a multiple (zeros don't change the sum)
             pad = g * chunk + chunk - n
             t = jnp.concatenate(
-                [t, jnp.zeros((t.shape[0], pad), U32)], axis=1
+                [t, jnp.zeros(lead + (pad,), U32)], axis=-1
             )
             g += 1
-        acc = t.reshape(t.shape[0], g, chunk).sum(axis=2, dtype=U32)
-        t = f.reduce_wide(FR, acc)  # (16, g) canonical
+        acc = t.reshape(lead + (g, chunk)).sum(axis=-1, dtype=U32)
+        t = f.reduce_wide(FR, acc)  # (16, ..., g) canonical
     return t

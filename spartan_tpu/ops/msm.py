@@ -104,8 +104,8 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
     inf_b = _zeros_sized(nbuckets)
     inf_1 = _zeros_sized(1)
 
-    def window_sum(d):
-        """Bucket-accumulate one window's digits; returns single point (batch 1)."""
+    def window_buckets(_, d):
+        """Bucket-accumulate one window's digits; returns (..., 2^c) buckets."""
         order = jnp.argsort(d)
         ds = jnp.take(d, order)
         ps = _tree_take(points, order)
@@ -140,26 +140,47 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
             inf_b,
             acc,
         )
-        # suffix-sum bucket reduction: W = sum_b b * S_b, scanning b = 2^c-1 .. 1
-        def bucket_step(carry, b_idx):
-            running, accum = carry
-            sb = _tree_take(buckets, b_idx[None])  # batch-1 point
-            running = cv.add(f, running, sb)
-            accum = cv.add(f, accum, running)
-            return (running, accum), None
+        return None, buckets
 
-        b_indices = jnp.arange(nbuckets - 1, 0, -1, dtype=jnp.int32)
-        (_, wsum), _ = jax.lax.scan(bucket_step, (inf_1, inf_1), b_indices)
-        return wsum
+    # collect all windows' buckets: leaves (nw, ..., 2^c) -> (..., nw * 2^c)
+    _, stacked = jax.lax.scan(window_buckets, None, digits)
+    flat = jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (nw * nbuckets,)),
+        stacked,
+    )
 
-    def window_step(result, d):
-        # result holds the higher windows; shift left by c bits then add
+    # Weighted bucket reduction, all windows at once:
+    # sum_b b * S_b == (suffix-sum applied twice)[b = 1], per window segment.
+    # Two masked suffix passes = 2c batched point adds total (vs 2^c
+    # sequential adds per window in serial Pippenger).
+    big_l = nw * nbuckets
+    pos = jnp.arange(big_l) & (nbuckets - 1)
+    inf_l = _zeros_sized(big_l)
+
+    def suffix_pass(buckets):
+        def step(s, b):
+            dist = jnp.int32(1) << s
+            rolled = jax.tree_util.tree_map(
+                lambda a: jnp.roll(a, -dist, axis=-1), b
+            )
+            valid = pos + dist < nbuckets  # stay inside the window segment
+            sel = cv.select_point(f, valid, rolled, inf_l)
+            return cv.add(f, b, sel)
+
+        return jax.lax.fori_loop(0, c, step, buckets)
+
+    r2 = suffix_pass(suffix_pass(flat))
+    w_idx = jnp.arange(nw) * nbuckets + 1
+    wsums = _tree_take(r2, w_idx)  # (..., nw): per-window weighted sums
+
+    # Horner combine across windows (MSB window first)
+    def window_step(result, w):
         result = jax.lax.fori_loop(0, c, lambda _, r: cv.double(f, r), result)
-        wsum = window_sum(d)
-        result = cv.add(f, result, wsum)
+        result = cv.add(f, result, _tree_take(wsums, w[None]))
         return result, None
 
-    result, _ = jax.lax.scan(window_step, inf_1, digits[::-1])
+    ws = jnp.arange(nw - 1, -1, -1, dtype=jnp.int32)
+    result, _ = jax.lax.scan(window_step, inf_1, ws)
     return result
 
 

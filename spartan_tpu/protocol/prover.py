@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from spartan_tpu.host import field as hf
 from spartan_tpu.ops import field as fo
 from spartan_tpu.ops import mle
+from spartan_tpu.ops import sumcheck as sck
 from spartan_tpu.ops.field import FR
 from spartan_tpu.protocol import sumcheck as sc
 from spartan_tpu.protocol.indexer import IndexPK
@@ -157,8 +158,11 @@ class ProverFifthState:
 
 @dataclass
 class ProverSecondSumcheckState:
-    z: jnp.ndarray
-    ml_state: sc.ProverState
+    z: jnp.ndarray  # the ORIGINAL z table (opened at r_y in round 6)
+    w_cur: jnp.ndarray  # folded (r_a A + r_b B + r_c C)(r_x, .) table
+    z_cur: jnp.ndarray  # folded copy of z for the sumcheck
+    round: int
+    randomness: List[int]
 
 
 # ---------------------------------------------------------------------------
@@ -218,49 +222,34 @@ def prover_third_round(state: ProverThirdState, tor: List[int]):
 def prove_first_sumcheck_round(
     state: ProverFirstSumcheckState, v_msg: Optional[sc.VerifierMsg]
 ):
-    """One sumcheck-1 round: fold on randomness, emit g_i at 0..log_n+2."""
+    """One sumcheck-1 round: fold on randomness, emit g_i at 0..log_n+2.
+
+    Device work is one fused dispatch (fold + inner quadratic at t = 0,1,2,
+    ops/sumcheck.sc1_round); the host extends the exact cubic to the wire's
+    log_n+3 evaluation points.
+    """
     l = state.pk.log_n
     i = state.round
     if i >= l:
         raise invalid_arg("sumcheck 1 already finished")
-    if i > 0:
+    do_fold = i > 0
+    if do_fold:
         if v_msg is None:
             raise invalid_arg("expected verifier randomness")
         r = v_msg.randomness
         r_dev = fo.encode_mont(FR, [r])
-        state.az = mle.fold(state.az, r_dev)
-        state.bz = mle.fold(state.bz, r_dev)
-        state.cz = mle.fold(state.cz, r_dev)
         state.pre = state.pre * ell(state.tor[i - 1], r) % hf.R
         state.randomness.append(r)
-    elif v_msg is not None:
-        raise invalid_arg("first round takes no randomness")
+    else:
+        if v_msg is not None:
+            raise invalid_arg("first round takes no randomness")
+        r_dev = fo.encode_mont(FR, [0])
 
-    # inner quadratic q(t) = sum_b S_{i+1}[b] (Az_t Bz_t - Cz_t)[b], t = 0,1,2
-    k, n = state.az.shape
-    s_table = state.suffix[i + 1]  # (16, n//2)
-
-    def halves(tab):
-        p = tab.reshape(k, n // 2, 2)
-        return p[:, :, 0], p[:, :, 1]
-
-    az_e, az_o = halves(state.az)
-    bz_e, bz_o = halves(state.bz)
-    cz_e, cz_o = halves(state.cz)
-    az_d = fo.sub(FR, az_o, az_e)
-    bz_d = fo.sub(FR, bz_o, bz_e)
-    cz_d = fo.sub(FR, cz_o, cz_e)
-
-    inner = []
-    az_t, bz_t, cz_t = az_e, bz_e, cz_e
-    for t in range(3):
-        if t > 0:
-            az_t = fo.add(FR, az_t, az_d)
-            bz_t = fo.add(FR, bz_t, bz_d)
-            cz_t = fo.add(FR, cz_t, cz_d)
-        val = fo.sub(FR, fo.mont_mul(FR, az_t, bz_t), cz_t)
-        val = fo.mont_mul(FR, val, s_table)
-        inner.append(fo.decode_mont(FR, mle.sum_mod(val))[0])
+    s_table = state.suffix[i + 1]
+    evals3, state.az, state.bz, state.cz = sck.sc1_round(
+        state.az, state.bz, state.cz, s_table, do_fold, r_dev
+    )
+    inner = fo.decode_mont(FR, evals3)
 
     # host: extend the exact cubic pre * l_i(t) * q(t) to 0..deg evaluation points
     q0, q1, q2 = inner
@@ -310,12 +299,13 @@ def prove_fifth_round(state: ProverFifthState, r_a: int, r_b: int, r_c: int):
         w = mle.scale(arx, fo.encode_mont(FR, [r_a]))
         w = fo.add(FR, w, mle.scale(brx, fo.encode_mont(FR, [r_b])))
         w = fo.add(FR, w, mle.scale(crx, fo.encode_mont(FR, [r_c])))
-    ml_state = sc.prover_init([[w, state.z]], pk.log_n)
     # wire format: the reference proposes 3 products of 2 factors each ->
     # max_multiplicands = 2, identical to the combined form's index info.
     info = sc.IndexInfo(max_multiplicands=2, num_variables=pk.log_n)
     return (
-        ProverSecondSumcheckState(z=state.z, ml_state=ml_state),
+        ProverSecondSumcheckState(
+            z=state.z, w_cur=w, z_cur=state.z, round=0, randomness=[]
+        ),
         ProverFifthMessage(index_info=info),
     )
 
@@ -323,15 +313,29 @@ def prove_fifth_round(state: ProverFifthState, r_a: int, r_b: int, r_c: int):
 def prove_second_sumcheck_round(
     state: ProverSecondSumcheckState, v_msg: Optional[sc.VerifierMsg]
 ):
-    msg = sc.prove_round(state.ml_state, v_msg)
-    return state, msg
+    """One degree-2 sumcheck round over W * z (fused device dispatch)."""
+    do_fold = state.round > 0
+    if do_fold:
+        if v_msg is None:
+            raise invalid_arg("expected verifier randomness")
+        state.randomness.append(v_msg.randomness)
+        r_dev = fo.encode_mont(FR, [v_msg.randomness])
+    else:
+        if v_msg is not None:
+            raise invalid_arg("first round takes no randomness")
+        r_dev = fo.encode_mont(FR, [0])
+    evals3, state.w_cur, state.z_cur = sck.prod2_round(
+        state.w_cur, state.z_cur, do_fold, r_dev
+    )
+    state.round += 1
+    return state, sc.ProverMsg(evaluations=fo.decode_mont(FR, evals3))
 
 
 def prove_sixth_round(
     state: ProverSecondSumcheckState, last_random_point: int, pp: PublicParameter
 ) -> ProverSixthMessage:
     """Open z at r_y (prover.rs:268-281)."""
-    r_y = state.ml_state.randomness + [last_random_point]
+    r_y = state.randomness + [last_random_point]
     with span("Prove 6: open z(r_y)"):
         z_ry, proof, _ = open_poly(pp, state.z, r_y)
     return ProverSixthMessage(z_ry=z_ry, proof_for_z_ry=proof)
