@@ -164,7 +164,7 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
         eval_res = fo.decode_mont(FR, mle.eval_at(poly, point_mont))[0]
 
     r_table = poly
-    proofs = []
+    device_results = []
     q_tables = []
     with span("open quotients + G2 MSMs"):
         for i in range(nv):
@@ -195,8 +195,11 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
                     ),
                     bases,
                 )
-            pi = msm_mod.msm(bases, scalars, "fp2")
-            proofs.append(cv.g2_decode(pi)[0])
+            # dispatch only — JAX queues the level MSMs asynchronously; all
+            # decodes happen after the loop so the device pipelines levels.
+            device_results.append(msm_mod.msm(bases, scalars, "fp2"))
+
+        proofs = [cv.g2_decode(pi)[0] for pi in device_results]
 
     return eval_res, OpenProof(h=pp.h, proofs=proofs), q_tables
 

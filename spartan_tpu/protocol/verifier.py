@@ -339,9 +339,13 @@ def verify_sixth_round(
     r_y = second_sub.point
     with span("Verify: matrix evals at (r_x, r_y)"):
         r_y_dev = fo.encode_mont(FR, r_y)
-        a_rx_ry = fo.decode_mont(FR, mle.eval_at(vk.matrix_a.eval_on_x(r_x), r_y_dev))[0]
-        b_rx_ry = fo.decode_mont(FR, mle.eval_at(vk.matrix_b.eval_on_x(r_x), r_y_dev))[0]
-        c_rx_ry = fo.decode_mont(FR, mle.eval_at(vk.matrix_c.eval_on_x(r_x), r_y_dev))[0]
+        # dispatch all three chains, then decode (device pipelines them)
+        a_dev = mle.eval_at(vk.matrix_a.eval_on_x(r_x), r_y_dev)
+        b_dev = mle.eval_at(vk.matrix_b.eval_on_x(r_x), r_y_dev)
+        c_dev = mle.eval_at(vk.matrix_c.eval_on_x(r_x), r_y_dev)
+        a_rx_ry = fo.decode_mont(FR, a_dev)[0]
+        b_rx_ry = fo.decode_mont(FR, b_dev)[0]
+        c_rx_ry = fo.decode_mont(FR, c_dev)[0]
     actual = (
         state.r_a * a_rx_ry % hf.R * z_ry
         + state.r_b * b_rx_ry % hf.R * z_ry

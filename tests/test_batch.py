@@ -1,0 +1,47 @@
+"""Batched proving: multiple instances of one circuit, shared kernels."""
+
+import random
+
+from spartan_tpu.host import field as hf
+from spartan_tpu.models.synthesizer import generate_circuit_with_random_input
+from spartan_tpu.protocol.argument import MLArgumentForR1CS
+from spartan_tpu.protocol.batch import prove_batch, verify_batch
+
+
+class _Rng:
+    def __init__(self, seed=0):
+        self._r = random.Random(seed)
+
+    def sample_fr(self):
+        return self._r.randrange(hf.R)
+
+
+def test_prove_batch_roundtrip():
+    log_n, log_v = 4, 2
+    # same circuit shape, different witnesses: re-synthesize with fresh seeds
+    # (assignments differ; matrices share the fixed synthesizer structure
+    # only if the rng draws match, so index each instance's own matrices and
+    # use the first instance's pk for all -- requires identical structure).
+    rng = random.Random(3)
+    cs, v, w = generate_circuit_with_random_input(
+        num_public=1 << log_v,
+        num_private=(1 << log_n) - (1 << log_v),
+        pad_to_square=True,
+        density=1,
+        rng=rng,
+    )
+    a, b, c = cs.to_matrices()
+    pp, vp = MLArgumentForR1CS.setup(log_n, _Rng(11))
+    pk = MLArgumentForR1CS.index(a, b, c)
+
+    # instances: same matrices, satisfying assignments. The dummy-padded
+    # witness rows (0*0=0) let us vary padding witness values freely; here we
+    # simply prove the same assignment twice plus a copy — exercising the
+    # batch path and kernel reuse.
+    instances = [(v, w), (v, list(w)), (v, w)]
+    proofs = prove_batch(pk, instances, pp)
+    assert len(proofs) == 3
+    results = verify_batch(pk.vk(), instances, proofs, vp)
+    assert results == [True, True, True]
+    # proofs over identical instances with deterministic FS are identical
+    assert proofs[0].serialize() == proofs[1].serialize()
