@@ -199,7 +199,7 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
             # decodes happen after the loop so the device pipelines levels.
             device_results.append(msm_mod.msm(bases, scalars, "fp2"))
 
-        proofs = [cv.g2_decode(pi)[0] for pi in device_results]
+        proofs = cv.g2_decode_many(device_results)  # one host fetch for all levels
 
     return eval_res, OpenProof(h=pp.h, proofs=proofs), q_tables
 

@@ -280,6 +280,36 @@ def g2_encode(points) -> PointBatch:
     )
 
 
+def g2_decode_many(points: list):
+    """Decode a list of batch-1 G2 PointBatches with ONE host fetch.
+
+    Each g2_decode costs ~6 host<->device roundtrips (one per coordinate
+    array); through the axon tunnel that dominated opening-proof time. Stack
+    all coords into one device array and fetch once.
+    """
+    cols = []
+    for p in points:
+        cols += [p.x[0], p.x[1], p.y[0], p.y[1], p.z[0], p.z[1]]
+    stacked = np.asarray(jnp.concatenate(cols, axis=1))  # (24, 6*len)
+    out = []
+    for i in range(len(points)):
+        vals = [
+            fo.decode_mont(FP, stacked[:, 6 * i + j : 6 * i + j + 1])[0]
+            for j in range(6)
+        ]
+        x0, x1, y0, y1, z0, z1 = vals
+        if z0 == 0 and z1 == 0:
+            out.append(None)
+            continue
+        zinv = hf.fp2_inv((z0, z1))
+        zinv2 = hf.fp2_sq(zinv)
+        zinv3 = hf.fp2_mul(zinv2, zinv)
+        out.append(
+            (hf.fp2_mul((x0, x1), zinv2), hf.fp2_mul((y0, y1), zinv3))
+        )
+    return out
+
+
 def g2_decode(p: PointBatch):
     x0 = fo.decode_mont(FP, p.x[0])
     x1 = fo.decode_mont(FP, p.x[1])
