@@ -176,6 +176,20 @@ void spartan_fs_feed(void* p, const uint8_t* data, uint64_t len) {
   r->avail = 0;
 }
 
+// Overwrite the chain state (device-resident transcript handoff: the fused
+// on-device sumcheck phase advances the transcript and returns its final
+// 32-byte state; the host resumes from it). Resets the output stream.
+void spartan_fs_set_state(void* p, const uint8_t* state32) {
+  FsRng* r = (FsRng*)p;
+  memcpy(r->state, state32, 32);
+  r->counter = 0;
+  r->avail = 0;
+}
+
+void spartan_fs_get_state(void* p, uint8_t* out32) {
+  memcpy(out32, ((FsRng*)p)->state, 32);
+}
+
 void spartan_fs_next_bytes(void* p, uint8_t* out, uint64_t n) {
   FsRng* r = (FsRng*)p;
   while (n > 0) {

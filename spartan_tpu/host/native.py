@@ -47,6 +47,8 @@ def load():
         lib.spartan_fs_next_bytes.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64
         ]
+        lib.spartan_fs_set_state.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.spartan_fs_get_state.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.spartan_ser_matrix.restype = ctypes.c_uint64
         lib.spartan_ser_matrix.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
@@ -81,6 +83,15 @@ class NativeFsRng:
 
     def next_u64(self) -> int:
         return int.from_bytes(self.next_bytes(8), "little")
+
+    def set_state(self, state: bytes) -> None:
+        assert len(state) == 32
+        self._lib.spartan_fs_set_state(self._ptr, state)
+
+    def get_state(self) -> bytes:
+        out = ctypes.create_string_buffer(32)
+        self._lib.spartan_fs_get_state(self._ptr, out)
+        return out.raw
 
 
 def ser_matrix_native(rows) -> bytes | None:

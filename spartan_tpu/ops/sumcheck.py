@@ -25,9 +25,10 @@ from spartan_tpu.ops.field import FR
 
 
 def _halves(tab):
-    k, n = tab.shape
-    p = tab.reshape(k, n // 2, 2)
-    return p[:, :, 0], p[:, :, 1]
+    """Split the (minor) table axis into even/odd halves; any batch dims."""
+    n = tab.shape[-1]
+    p = tab.reshape(tab.shape[:-1] + (n // 2, 2))
+    return p[..., 0], p[..., 1]
 
 
 def _eval3(factors_e, factors_o, weight=None):
@@ -50,17 +51,9 @@ def _eval3(factors_e, factors_o, weight=None):
     return jnp.concatenate(outs, axis=1)  # (16, 3)
 
 
-@partial(jax.jit, static_argnums=(4,))
-def sc1_round(az, bz, cz, s_table, do_fold: bool, r):
-    """One Spartan SC1 round: optional fold by r, then inner quadratic at
-    t=0,1,2: sum_b S[b] * (Az_t Bz_t - Cz_t)[b].
-
-    Returns ((16,3) evals, az', bz', cz') — a single device dispatch.
-    """
-    if do_fold:
-        az = mle.fold(az, r)
-        bz = mle.fold(bz, r)
-        cz = mle.fold(cz, r)
+def sc1_evals3(az, bz, cz, s_table):
+    """Inner quadratic of a Spartan SC1 round at t = 0,1,2:
+    sum_b S[b] * (Az_t Bz_t - Cz_t)[b]. Returns (16, 3) Montgomery."""
     az_e, az_o = _halves(az)
     bz_e, bz_o = _halves(bz)
     cz_e, cz_o = _halves(cz)
@@ -77,7 +70,27 @@ def sc1_round(az, bz, cz, s_table, do_fold: bool, r):
         val = fo.sub(FR, fo.mont_mul(FR, az_t, bz_t), cz_t)
         val = fo.mont_mul(FR, val, s_table)
         outs.append(mle.sum_mod(val))
-    return jnp.concatenate(outs, axis=1), az, bz, cz
+    return jnp.concatenate(outs, axis=1)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def sc1_round(az, bz, cz, s_table, do_fold: bool, r):
+    """One Spartan SC1 round: optional fold by r, then the inner quadratic.
+
+    Returns ((16,3) evals, az', bz', cz') — a single device dispatch.
+    """
+    if do_fold:
+        az = mle.fold(az, r)
+        bz = mle.fold(bz, r)
+        cz = mle.fold(cz, r)
+    return sc1_evals3(az, bz, cz, s_table), az, bz, cz
+
+
+def prod2_evals3(w, z):
+    """Degree-2 round evals at t = 0,1,2 for sum_b w(t,b) z(t,b)."""
+    w_e, w_o = _halves(w)
+    z_e, z_o = _halves(z)
+    return _eval3([w_e, z_e], [w_o, z_o])
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -86,7 +99,4 @@ def prod2_round(w, z, do_fold: bool, r):
     if do_fold:
         w = mle.fold(w, r)
         z = mle.fold(z, r)
-    w_e, w_o = _halves(w)
-    z_e, z_o = _halves(z)
-    evals = _eval3([w_e, z_e], [w_o, z_o])
-    return evals, w, z
+    return prod2_evals3(w, z), w, z

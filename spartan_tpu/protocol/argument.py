@@ -9,11 +9,17 @@ Proof container. The verifier replays the identical transcript (lib.rs:147+).
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
+
+import jax
 
 from spartan_tpu.commitment import PublicParameter, VerifierParameter, keygen
 from spartan_tpu.models.r1cs import Matrix
+from spartan_tpu.ops import field as fo
+from spartan_tpu.ops.field import FR
 from spartan_tpu.protocol import prover as pr
+from spartan_tpu.protocol import sumcheck as sc
 from spartan_tpu.protocol import verifier as vr
 from spartan_tpu.protocol.indexer import IndexPK, IndexVK, index as _index
 from spartan_tpu.protocol.proof import Proof
@@ -21,6 +27,13 @@ from spartan_tpu.utils import serialize as ser
 from spartan_tpu.utils.errors import invalid_arg
 from spartan_tpu.utils.timers import span
 from spartan_tpu.utils.transcript import Blake2sRng
+
+
+def _use_device_fs() -> bool:
+    """Device-resident transcript (protocol/fused.py): each sumcheck phase is
+    one dispatch instead of one host round-trip per round. SPARTAN_DEVICE_FS=0
+    falls back to the per-round host loop (identical bytes either way)."""
+    return os.environ.get("SPARTAN_DEVICE_FS", "1") not in ("0", "false")
 
 
 class MLArgumentForR1CS:
@@ -68,43 +81,84 @@ class MLArgumentForR1CS:
             ps, pm3 = pr.prover_third_round(ps, tor)
         fs.feed(pm3.serialize())
 
-        with span("Prove Sumcheck 1"):
-            sc1_msgs = []
-            v_msg = None
-            for _ in range(log_n - 1):
-                ps, pm = pr.prove_first_sumcheck_round(ps, v_msg)
-                fs.feed(pm.serialize())
-                sc1_msgs.append(pm)
-                v_msg = vr.sample_verify_first_sumcheck_ongoing_round(fs)
-            ps, pm = pr.prove_first_sumcheck_round(ps, v_msg)
-        fs.feed(pm.serialize())
-        sc1_msgs.append(pm)
-        vm3 = vr.sample_verify_first_sumcheck_final_round(fs)
+        if _use_device_fs():
+            from spartan_tpu.ops import fs_device as fsd
+            from spartan_tpu.protocol import fused
 
-        with span("Prove 4"):
-            ps, pm4 = pr.prove_fourth_round(ps, vm3.last_random_point)
-        fs.feed(pm4.serialize())
-        vm4 = vr.sample_verify_fourth_round(fs)
+            with span("Prove Sumcheck 1 (fused)"):
+                ev1, rs1, vabc, rabc, st = fused.sc1_phase(
+                    ps.az, ps.bz, ps.cz, tuple(ps.suffix),
+                    fo.encode_mont(FR, tor), fsd.state_to_words(fs.get_state()),
+                )
+                ev1, rs1, vabc, rabc, st = jax.device_get(
+                    (ev1, rs1, vabc, rabc, st)
+                )
+            sc1_msgs = [
+                sc.ProverMsg(evaluations=FR.dec(ev1[i])) for i in range(log_n)
+            ]
+            rs1_i = FR.dec(rs1)
+            va, vb, vc = FR.dec(vabc)
+            r_a, r_b, r_c = FR.dec(rabc)
+            fs.set_state(fsd.words_to_state(st))
+            pm4 = pr.ProverFourthMessage(va=va, vb=vb, vc=vc)
+            ps = pr.ProverFifthState(pk=pk, z=ps.z, r_x=rs1_i)
+        else:
+            with span("Prove Sumcheck 1"):
+                sc1_msgs = []
+                v_msg = None
+                for _ in range(log_n - 1):
+                    ps, pm = pr.prove_first_sumcheck_round(ps, v_msg)
+                    fs.feed(pm.serialize())
+                    sc1_msgs.append(pm)
+                    v_msg = vr.sample_verify_first_sumcheck_ongoing_round(fs)
+                ps, pm = pr.prove_first_sumcheck_round(ps, v_msg)
+            fs.feed(pm.serialize())
+            sc1_msgs.append(pm)
+            vm3 = vr.sample_verify_first_sumcheck_final_round(fs)
+
+            with span("Prove 4"):
+                ps, pm4 = pr.prove_fourth_round(ps, vm3.last_random_point)
+            fs.feed(pm4.serialize())
+            vm4 = vr.sample_verify_fourth_round(fs)
+            r_a, r_b, r_c = vm4.r_a, vm4.r_b, vm4.r_c
 
         with span("Prove 5"):
-            ps, pm5 = pr.prove_fifth_round(ps, vm4.r_a, vm4.r_b, vm4.r_c)
+            ps, pm5 = pr.prove_fifth_round(ps, r_a, r_b, r_c)
         fs.feed(pm5.serialize())
 
-        with span("Prove Sumcheck 2"):
-            sc2_msgs = []
-            v_msg = None
-            for _ in range(log_n - 1):
+        if _use_device_fs():
+            from spartan_tpu.ops import fs_device as fsd
+            from spartan_tpu.protocol import fused
+
+            with span("Prove Sumcheck 2 (fused)"):
+                ev2, rs2, st = fused.sc2_phase(
+                    ps.w_cur, ps.z_cur, fsd.state_to_words(fs.get_state())
+                )
+                ev2, rs2, st = jax.device_get((ev2, rs2, st))
+            sc2_msgs = [
+                sc.ProverMsg(evaluations=FR.dec(ev2[i])) for i in range(log_n)
+            ]
+            rs2_i = FR.dec(rs2)
+            fs.set_state(fsd.words_to_state(st))
+            ps.randomness = rs2_i[:-1]
+            last2 = rs2_i[-1]
+        else:
+            with span("Prove Sumcheck 2"):
+                sc2_msgs = []
+                v_msg = None
+                for _ in range(log_n - 1):
+                    ps, pm = pr.prove_second_sumcheck_round(ps, v_msg)
+                    fs.feed(pm.serialize())
+                    sc2_msgs.append(pm)
+                    v_msg = vr.sample_verify_second_sumcheck_ongoing_round(fs)
                 ps, pm = pr.prove_second_sumcheck_round(ps, v_msg)
-                fs.feed(pm.serialize())
-                sc2_msgs.append(pm)
-                v_msg = vr.sample_verify_second_sumcheck_ongoing_round(fs)
-            ps, pm = pr.prove_second_sumcheck_round(ps, v_msg)
-        fs.feed(pm.serialize())
-        sc2_msgs.append(pm)
-        vm5 = vr.sample_verify_second_sumcheck_final_round(fs)
+            fs.feed(pm.serialize())
+            sc2_msgs.append(pm)
+            vm5 = vr.sample_verify_second_sumcheck_final_round(fs)
+            last2 = vm5.last_random_point
 
         with span("Prove 6"):
-            pm6 = pr.prove_sixth_round(ps, vm5.last_random_point, pp)
+            pm6 = pr.prove_sixth_round(ps, last2, pp)
 
         return Proof(
             prover_first_message=pm1,

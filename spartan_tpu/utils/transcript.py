@@ -69,6 +69,27 @@ class Blake2sRng:
         self._counter = 0
         self._buffer = b""
 
+    # -- device handoff ------------------------------------------------------
+    def get_state(self) -> bytes:
+        """32-byte chain state (for the device-resident transcript kernels).
+
+        Only valid at a feed boundary (no partially-consumed output block),
+        which is the only place the protocol hands off to the device.
+        """
+        if self._native is not None:
+            return self._native.get_state()
+        return self._state
+
+    def set_state(self, state: bytes) -> None:
+        """Resume from a device-advanced chain state; resets the stream."""
+        assert len(state) == 32
+        if self._native is not None:
+            self._native.set_state(state)
+            return
+        self._state = state
+        self._counter = 0
+        self._buffer = b""
+
     # -- RngCore -----------------------------------------------------------
     def _refill(self) -> None:
         block = _blake2s(self._state + self._counter.to_bytes(8, "little"))

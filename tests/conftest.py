@@ -21,5 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+# NOTE: must NOT share a cache dir with TPU/axon runs — the axon backend
+# caches XLA:CPU AOT results compiled on the tunnel server's CPU, whose
+# machine features differ from this host; loading them hangs or SIGILLs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# 8 virtual devices on a small host: async dispatch's inline-thread executor
+# deadlocks (observed with while_loop programs on a 2-core machine).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
