@@ -45,3 +45,40 @@ def test_prove_batch_roundtrip():
     assert results == [True, True, True]
     # proofs over identical instances with deterministic FS are identical
     assert proofs[0].serialize() == proofs[1].serialize()
+
+
+def test_prove_many_bit_identical():
+    """Batched device proving emits byte-identical proofs to prove()."""
+    from spartan_tpu.protocol.batched import prove_many
+
+    log_n, log_v = 4, 2
+    rng = random.Random(5)
+    cs, v, w = generate_circuit_with_random_input(
+        num_public=1 << log_v,
+        num_private=(1 << log_n) - (1 << log_v),
+        pad_to_square=True,
+        density=1,
+        rng=rng,
+    )
+    a, b, c = cs.to_matrices()
+    pp, vp = MLArgumentForR1CS.setup(log_n, _Rng(11))
+    pk = MLArgumentForR1CS.index(a, b, c)
+
+    # make genuinely distinct instances by varying *free* witness variables
+    # (columns referenced by no matrix entry impose no constraint)
+    used = set()
+    for m in (a, b, c):
+        for row in m:
+            used.update(idx for _, idx in row)
+    free = [
+        i - len(v) for i in range(len(v), len(v) + len(w)) if i not in used
+    ]
+    instances = [(v, list(w)), (v, list(w)), (v, list(w))]
+    for k, fi in enumerate(free[:3]):
+        for j in range(k + 1):
+            instances[k][1][fi] = (j + 7) % hf.R
+    proofs_b = prove_many(pk, instances, pp)
+    for (vi, wi), pb in zip(instances, proofs_b):
+        p1 = MLArgumentForR1CS.prove(pk, vi, wi, pp)
+        assert pb.serialize() == p1.serialize()
+        assert MLArgumentForR1CS.verify(pk.vk(), vi, pb, vp)
