@@ -7,22 +7,23 @@ src/commitment/setup.rs:61-69, verifier src/commitment/verify.rs:21-24).
 
 The reference runs a serial bucket-method Pippenger on one CPU core. The TPU
 rebuild keeps Pippenger's window/bucket structure but replaces the serial
-bucket scatter with a data-oblivious pipeline per window:
+bucket scatter with a data-oblivious pipeline over ALL windows at once:
 
   1. digit extraction from 16-bit scalar limbs (c-bit windows),
-  2. argsort points by digit (XLA sort),
-  3. inclusive *segmented scan* with the Jacobian group law as combiner
-     (Hillis-Steele distance doubling: log2(N) full-width batched point adds),
-  4. segment-end extraction -> conflict-free scatter into 2^c buckets,
-  5. classic suffix-sum bucket reduction as a lax.scan (2^c tiny steps),
+  2. one argsort of the composite key ``window * 2^c + digit`` over the
+     nw*N tiled lanes (XLA sort; window-major, digit within window),
+  3. one inclusive *segmented scan* with the Jacobian group law as combiner
+     (Hillis-Steele distance doubling: log2(nw*N) full-width batched adds —
+     segment boundaries fall wherever the key changes, which covers both
+     digit changes and window boundaries),
+  4. segment-end extraction -> conflict-free scatter into nw*2^c buckets,
+  5. masked suffix-sum weighted bucket reduction (2c batched adds, all
+     windows in the same lanes), then a Horner combine across windows.
 
-with the window loop itself a lax.scan (digits are the scanned input) so the
-whole MSM jits into one compact program. Infinity handling is Z=0 lane
-selects throughout — no data-dependent control flow.
-
-Work: ~log2(N) * ceil(256/c) full-width batched adds. (A two-level scan that
-cuts this to O(N) total adds is the planned optimization; see notes in
-PROGRESS/bench docs.)
+Everything is one jitted program with ~log2(nw*N) + 2c + nw sequential
+batched point adds total (vs per-window scans: nw * log2(N) steps).
+Infinity handling is Z=0 lane selects throughout — no data-dependent
+control flow.
 """
 
 from __future__ import annotations
@@ -90,7 +91,6 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
     digits = digits_from_limbs(scalars, c)  # (nw, N)
     nw = digits.shape[0]
     nbuckets = 1 << c
-    logn = max(1, (n - 1).bit_length())
 
     # infinities derived from `points` so lax-loop carries inherit shard_map
     # varying axes (plain constants break scan typechecking under shard_map)
@@ -100,28 +100,48 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
             points,
         )
 
-    inf_n = _zeros_sized(n)
-    inf_b = _zeros_sized(nbuckets)
     inf_1 = _zeros_sized(1)
 
-    def window_buckets(_, d):
-        """Bucket-accumulate one window's digits; returns (..., 2^c) buckets."""
-        order = jnp.argsort(d)
-        ds = jnp.take(d, order)
-        ps = _tree_take(points, order)
-        # segment starts: first element, or digit change
-        prev_d = jnp.concatenate([ds[:1] - 1, ds[:-1]])
-        seg_start = ds != prev_d  # (N,) bool
+    # Window grouping: process `chunk` windows per scan step so the tiled
+    # lane count stays within a memory budget (chunk*N <= MAX_LANES); at
+    # bench sizes all windows fit in one group (scan of length 1).
+    max_lanes = 1 << 21
+    chunk = max(1, min(nw, max_lanes // max(1, n)))
+    while nw % chunk:
+        chunk -= 1
+    ngroups = nw // chunk
+
+    total = chunk * n
+    glen = chunk * nbuckets
+    inf_t = _zeros_sized(total)
+    inf_g = _zeros_sized(glen)
+    lane = jnp.arange(total)
+    logt = max(1, (total - 1).bit_length())
+
+    def group_buckets(_, dg):
+        """dg: (chunk, N) digits -> (..., chunk * 2^c) buckets.
+
+        Composite key = within-group-window * 2^c + digit: one argsort keeps
+        windows contiguous (key is window-major) and digit-sorted inside,
+        so a single segmented scan covers every window in the group."""
+        key = (
+            jnp.arange(chunk, dtype=jnp.int32)[:, None] * nbuckets + dg
+        ).reshape(-1)  # (chunk*N,)
+        order = jnp.argsort(key)
+        ks = jnp.take(key, order)
+        ps = _tree_take(points, order % n)  # tiled points in sorted key order
+
+        # segment starts: first lane, or key change (digit OR window boundary)
+        prev_k = jnp.concatenate([ks[:1] - 1, ks[:-1]])
+        seg_start = ks != prev_k  # (chunk*N,) bool
 
         # Hillis-Steele segmented inclusive scan with point-add combiner:
         # state: (acc points, reached_start flags). fori_loop keeps the
         # point-add body traced once (distance is a traced value via roll).
-        lane = jnp.arange(n)
-
         def hs_step(s, state):
             acc, reached = state
             dist = jnp.int32(1) << s
-            shifted = _tree_roll_masked(acc, dist, inf_n, n)
+            shifted = _tree_roll_masked(acc, dist, inf_t, total)
             r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
             take = ~reached  # lanes that still extend into the left neighbor
             cand = cv.add(f, shifted, acc)
@@ -129,25 +149,32 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
             new_reached = reached | r_shift
             return new_acc, new_reached
 
-        acc, reached = jax.lax.fori_loop(0, logn, hs_step, (ps, seg_start))
+        acc, _reached = jax.lax.fori_loop(0, logt, hs_step, (ps, seg_start))
 
         # segment ends: next element starts a new segment (or last element)
         next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
-        # scatter segment totals into buckets (conflict-free: unique digits)
-        idx = jnp.where(next_start, ds, nbuckets)  # out-of-range -> dropped
+        # scatter segment totals into the flat (chunk * 2^c) bucket array
+        # (conflict-free: keys at segment ends are unique)
+        idx = jnp.where(next_start, ks, glen)  # out-of-range -> dropped
         buckets = jax.tree_util.tree_map(
             lambda b, a: b.at[..., idx].set(a, mode="drop"),
-            inf_b,
+            inf_g,
             acc,
         )
         return None, buckets
 
-    # collect all windows' buckets: leaves (nw, ..., 2^c) -> (..., nw * 2^c)
-    _, stacked = jax.lax.scan(window_buckets, None, digits)
-    flat = jax.tree_util.tree_map(
-        lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (nw * nbuckets,)),
-        stacked,
-    )
+    if ngroups == 1:
+        _, flat = group_buckets(None, digits)
+    else:
+        _, stacked = jax.lax.scan(
+            group_buckets, None, digits.reshape(ngroups, chunk, n)
+        )
+        flat = jax.tree_util.tree_map(
+            lambda a: jnp.moveaxis(a, 0, -2).reshape(
+                a.shape[1:-1] + (nw * nbuckets,)
+            ),
+            stacked,
+        )
 
     # Weighted bucket reduction, all windows at once:
     # sum_b b * S_b == (suffix-sum applied twice)[b = 1], per window segment.

@@ -44,9 +44,20 @@ class MLArgumentForR1CS:
     def setup(nv: int, rng) -> Tuple[PublicParameter, VerifierParameter]:
         """Trusted setup; discards the trapdoor (reference ahp/setup.rs:13-16).
 
-        rng: anything with sample_fr() — e.g. utils.transcript.Blake2sRng or a
-        test RNG.
+        rng: anything with sample_fr() (e.g. utils.transcript.Blake2sRng) or a
+        stdlib random.Random-like object with randrange().
         """
+        if not hasattr(rng, "sample_fr") and hasattr(rng, "randrange"):
+            from spartan_tpu.host import field as _hf
+
+            class _Adapter:
+                def __init__(self, r):
+                    self._r = r
+
+                def sample_fr(self):
+                    return self._r.randrange(_hf.R)
+
+            rng = _Adapter(rng)
         pp, vp, _t = keygen(nv, rng)
         return pp, vp
 
