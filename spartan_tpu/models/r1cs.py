@@ -142,12 +142,20 @@ def validate_matrix(matrix: Matrix, num_constraints: int):
         raise invalid_arg("num of constraints should be power of two")
     if len(matrix) != num_constraints:
         raise invalid_arg("matrix size is inconsistent with number of constraints")
+    col_nnz: dict = {}
     for row in matrix:
         for _, idx in row:
             if idx >= num_constraints:
                 raise invalid_arg("sparse index out of bound")
+            col_nnz[idx] = col_nnz.get(idx, 0) + 1
         if len(row) >= 1 << 16:
             raise invalid_arg("row too dense for segment-sum kernel (>= 2^16 nnz)")
+    # eval_on_x_table segment-sums by COLUMN (ops/sparse.py:54-58); a column
+    # with >= 2^16 entries would silently overflow the limb-wise uint32
+    # accumulator, so reject it here like the row check above
+    # (reference walks columns safely, r1cs_reader.rs:91-117).
+    if col_nnz and max(col_nnz.values()) >= 1 << 16:
+        raise invalid_arg("column too dense for segment-sum kernel (>= 2^16 nnz)")
 
 
 def matrix_to_coo(matrix: Matrix):

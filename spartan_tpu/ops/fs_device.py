@@ -90,60 +90,53 @@ def _limbs_lt_r(limbs):
 
 
 def _fs_attempts() -> int:
-    """0 = unbounded rejection sampling (lax.while_loop, exact); K > 0 =
-    fixed K attempts under lax.fori_loop. A rejection needs a fresh draw with
-    probability ~9.5% (masked 255-bit value >= r), so K attempts fail with
-    probability 0.095^K per sample: the default 24 puts a full deviation from
-    the host sampler at ~1e-25 per sample — and a deviation is loud (the
-    replayed host transcript diverges, so verification fails), not silent.
-    Bounded mode exists because deep while_loops inside scans hang flakily on
-    the multi-(virtual-)device CPU runtime used in tests."""
+    """K candidate blocks drawn per sample (one batched Blake2s call). A
+    rejection needs a fresh draw with probability ~9.5% (masked 255-bit value
+    >= r), so K candidates fail with probability 0.095^K per sample: the
+    default 24 puts a full deviation from the host sampler at ~1e-25 per
+    sample — and a deviation is loud (the replayed host transcript diverges,
+    so verification fails), not silent. Earlier rounds used a sequential
+    fori/while retry loop here; loops-in-scans hang the multi-(virtual-)device
+    CPU runtime and bloat compiles, so all K candidates are now hashed in one
+    vectorized pass and the first acceptable one selected."""
     import os
 
-    v = os.environ.get("SPARTAN_FS_MAX_ATTEMPTS", "24")
-    return int(v)
+    v = int(os.environ.get("SPARTAN_FS_MAX_ATTEMPTS", "24"))
+    return v if v > 0 else 24
 
 
 def fs_sample_fr(state, counter):
     """Sample one uniform Fr element (rejection sampling).
 
-    state: (8,) words; counter: uint32 scalar (next output-block index).
-    Returns (limbs (16,) canonical, new counter). Batched variants stack the
-    leading axis on state/counter.
-    """
+    state: (..., 8) words; counter: uint32 scalar or (...,) array (next
+    output-block index). Returns (limbs (16, ...) canonical, new counter).
+
+    Draws K candidate blocks at counters ctr..ctr+K-1 in ONE batched Blake2s
+    call and keeps the first with value < r — identical bytes/counter
+    consumption to sequential rejection sampling whenever any of the K
+    candidates is acceptable (always, up to probability 0.095^K)."""
     bshape = state.shape[:-1]
-
-    def draw(ctr):
-        block = blake2s_words(
-            jnp.concatenate([state, u64_words(ctr)], axis=-1)
-        )  # (..., 8)
-        limbs = words_to_limbs(block)  # (16, ...)
-        limbs = limbs.at[15].set(limbs[15] & U32(0x7FFF))  # REPR_SHAVE_BITS=1
-        return limbs, _limbs_lt_r(limbs)
-
-    def cond(carry):
-        _limbs, ok, _ctr = carry
-        return ~jnp.all(ok)
-
-    def body(carry):
-        limbs, ok, ctr = carry
-        new_limbs, new_ok = draw(ctr)
-        take = (~ok) & new_ok  # lanes that just got their first accept
-        limbs = jnp.where(take[None, ...], new_limbs, limbs)
-        ctr = ctr + jnp.where(ok, U32(0), U32(1))
-        return limbs, ok | new_ok, ctr
-
-    init = (
-        jnp.zeros((16,) + bshape, U32),
-        jnp.zeros(bshape, bool),
-        jnp.asarray(counter, U32) + jnp.zeros(bshape, U32),
-    )
     k = _fs_attempts()
-    if k:
-        limbs, _ok, ctr = jax.lax.fori_loop(0, k, lambda _, c: body(c), init)
-    else:
-        limbs, _ok, ctr = jax.lax.while_loop(cond, body, init)
-    return limbs, ctr
+
+    ctr = jnp.asarray(counter, U32) + jnp.zeros(bshape, U32)  # (...,)
+    ctrs = ctr[..., None] + jnp.arange(k, dtype=U32)  # (..., K)
+    inp = jnp.concatenate(
+        [
+            jnp.broadcast_to(state[..., None, :], bshape + (k, 8)),
+            u64_words(ctrs),
+        ],
+        axis=-1,
+    )  # (..., K, 10)
+    blocks = blake2s_words(inp)  # (..., K, 8)
+    limbs = words_to_limbs(blocks)  # (16, ..., K)
+    limbs = limbs.at[15].set(limbs[15] & U32(0x7FFF))  # REPR_SHAVE_BITS=1
+    ok = _limbs_lt_r(limbs)  # (..., K)
+    first = jnp.argmax(ok, axis=-1)  # first acceptable candidate per lane
+    sel = jnp.take_along_axis(
+        limbs, first[None, ..., None].astype(jnp.int32), axis=-1
+    )[..., 0]  # (16, ...)
+    new_ctr = ctr + first.astype(U32) + U32(1)
+    return sel, new_ctr
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -1,7 +1,7 @@
 """Batched-instance proving: B proofs of one circuit in shared device dispatches.
 
 The data-parallel scale-out config (SURVEY.md §2.3; BASELINE.json throughput
-target: 64 independent 2^16 instances pipelined). ``protocol/batch.py`` loops
+target: 64 independent 2^16 instances pipelined). The ``prove_batch`` convenience below loops
 ``prove`` per instance — correct, but each proof pays its own dispatch +
 host-sync latency. This module stacks the instances on a device batch axis:
 
@@ -513,3 +513,27 @@ def prove_many(
             )
         )
     return proofs
+
+
+# ---------------------------------------------------------------------------
+# Sequential convenience API (formerly protocol/batch.py): per-instance loop.
+# Correct but latency-bound; prove_many above is the batched fast path.
+# ---------------------------------------------------------------------------
+
+
+def prove_batch(
+    pk: IndexPK, instances: List[Tuple[List[int], List[int]]], pp: PublicParameter
+) -> List[Proof]:
+    """Prove all (v, w) instances one at a time; returns one Proof each."""
+    from spartan_tpu.protocol.argument import MLArgumentForR1CS
+
+    return [MLArgumentForR1CS.prove(pk, v, w, pp) for v, w in instances]
+
+
+def verify_batch(vk, instances, proofs, vp) -> List[bool]:
+    from spartan_tpu.protocol.argument import MLArgumentForR1CS
+
+    return [
+        MLArgumentForR1CS.verify(vk, v, proof, vp)
+        for (v, _w), proof in zip(instances, proofs)
+    ]

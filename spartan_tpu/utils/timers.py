@@ -49,8 +49,20 @@ def end_timer(span: _Span) -> float:
 
 @contextmanager
 def span(label: str):
+    """Wall-clock span + a jax.profiler TraceAnnotation so device work issued
+    inside the span shows up as a named range in TPU profiler traces."""
     s = start_timer(label)
+    try:
+        from jax.profiler import TraceAnnotation
+
+        ann = TraceAnnotation(label)
+    except Exception:  # jax absent or profiler API unavailable
+        ann = None
+    if ann is not None:
+        ann.__enter__()
     try:
         yield s
     finally:
+        if ann is not None:
+            ann.__exit__(None, None, None)
         end_timer(s)

@@ -5,7 +5,7 @@ import random
 from spartan_tpu.host import field as hf
 from spartan_tpu.models.synthesizer import generate_circuit_with_random_input
 from spartan_tpu.protocol.argument import MLArgumentForR1CS
-from spartan_tpu.protocol.batch import prove_batch, verify_batch
+from spartan_tpu.protocol.batched import prove_batch, verify_batch
 
 
 class _Rng:
