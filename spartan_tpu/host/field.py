@@ -78,7 +78,7 @@ def fr_neg(a: int) -> int:
 def fr_inv(a: int) -> int:
     if a % R == 0:
         raise ZeroDivisionError("inverse of zero in Fr")
-    return pow(a, R - 2, R)
+    return pow(a, -1, R)  # extended gcd: ~50x faster than Fermat in CPython
 
 
 def fr_pow(a: int, e: int) -> int:
@@ -88,7 +88,7 @@ def fr_pow(a: int, e: int) -> int:
 def fp_inv(a: int) -> int:
     if a % P == 0:
         raise ZeroDivisionError("inverse of zero in Fp")
-    return pow(a, P - 2, P)
+    return pow(a, -1, P)  # extended gcd: ~50x faster than Fermat in CPython
 
 
 # ---------------------------------------------------------------------------

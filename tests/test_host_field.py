@@ -90,3 +90,12 @@ def test_product_of_pairings():
     assert prod == expect
     # equivalently e(g1,g2)^(1 + 6)
     assert prod == hf.fp12_pow(hp.pairing(g1, g2), 7)
+
+
+def test_final_exponentiation_fast_equals_slow_cubed():
+    """Fast hard part == slow hard part cubed (fast computes f^(3d))."""
+    g1, g2 = hf.G1_GEN, hf.G2_GEN
+    f = hp.miller_loop(hc.G1.mul(g1, 9), hc.G2.mul(g2, 4))
+    fast = hp.final_exponentiation(f)
+    slow = hp.final_exponentiation_slow(f)
+    assert fast == hf.fp12_pow(slow, 3)
