@@ -1,0 +1,96 @@
+"""Pallas kernels vs jnp reference path, bit-compared in CPU interpret mode.
+
+The fused Pallas field/curve kernels (ops/pallas_field.py, ops/pallas_curve.py)
+are the TPU fast path; on CPU they run in interpret mode (pallas_field's
+``_interpret``), so CI exercises the exact kernel code and fails when it
+diverges from the jnp implementation (the naive-vs-fast pattern of the
+reference's tests, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from spartan_tpu.host import field as hf
+from spartan_tpu.host import curve as hc
+from spartan_tpu.ops import curve as cv
+from spartan_tpu.ops import field as fo
+from spartan_tpu.ops import pallas_curve as pc
+from spartan_tpu.ops import pallas_field as pf
+from spartan_tpu.ops.field import FP, FR
+
+R = random.Random(20240820)
+
+
+def _rand_fr(n):
+    return [R.randrange(hf.R) for _ in range(n)]
+
+
+def _rand_fp(n):
+    return [R.randrange(hf.P) for _ in range(n)]
+
+
+def test_pallas_field_ops_match_jnp_fr():
+    n = 9  # deliberately unaligned: exercises the pad-to-block path
+    a = fo.encode_mont(FR, _rand_fr(n))
+    b = fo.encode_mont(FR, _rand_fr(n))
+    for op, ref in (("mul", fo.mont_mul), ("add", fo.add), ("sub", fo.sub)):
+        got = getattr(pf, "mont_mul" if op == "mul" else op)(FR, a, b)
+        want = ref(FR, a, b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), op)
+
+
+def test_pallas_field_ops_match_jnp_fp():
+    n = 5
+    a = fo.encode_mont(FP, _rand_fp(n))
+    b = fo.encode_mont(FP, _rand_fp(n))
+    for op, ref in (("mul", fo.mont_mul), ("add", fo.add), ("sub", fo.sub)):
+        got = getattr(pf, "mont_mul" if op == "mul" else op)(FP, a, b)
+        want = ref(FP, a, b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), op)
+
+
+def _g1_batch():
+    """G1 batch with edge lanes: [P, Q, P, -P, inf, 2P]."""
+    g = hf.G1_GEN
+    p = hc.G1.mul(g, 5)
+    q = hc.G1.mul(g, 11)
+    return cv.g1_encode([p, q, p, hc.G1.neg(p), None, hc.G1.mul(g, 10)])
+
+
+def _assert_points_equal(f, got, want):
+    """Compare Jacobian batches by normalized affine host decode."""
+    if f is cv.G1_FIELD:
+        assert cv.g1_decode(got) == cv.g1_decode(want)
+    else:
+        assert cv.g2_decode(got) == cv.g2_decode(want)
+
+
+def test_pallas_g1_add_double_match_jnp():
+    f = cv.G1_FIELD
+    a = _g1_batch()
+    # second operand: [Q, P, P (doubling lane), P (P + -P lane order swap),
+    #                  P (inf + P), inf (2P + inf)]
+    g = hf.G1_GEN
+    p = hc.G1.mul(g, 5)
+    b = cv.g1_encode([hc.G1.mul(g, 11), p, p, p, p, None])
+    got = pc.g1_add(a, b)
+    want = cv.add(f, a, b)
+    _assert_points_equal(f, got, want)
+    _assert_points_equal(f, pc.g1_double(a), cv.double(f, a))
+
+
+def test_pallas_g2_add_double_match_jnp():
+    f = cv.G2_FIELD
+    g = hf.G2_GEN
+    p = hc.G2.mul(g, 7)
+    q = hc.G2.mul(g, 13)
+    a = cv.g2_encode([p, q, p, hc.G2.neg(p), None, hc.G2.mul(g, 14)])
+    b = cv.g2_encode([q, p, p, p, p, None])
+    got = pc.g2_add(a, b)
+    want = cv.add(f, a, b)
+    _assert_points_equal(f, got, want)
+    _assert_points_equal(f, pc.g2_double(a), cv.double(f, a))
