@@ -149,58 +149,109 @@ def commit(pp: PublicParameter, poly) -> Commitment:
     return Commitment(nv=nv, g_product=g_product)
 
 
+@jax.jit
+def _quotients_and_eval(poly, point_mont):
+    """All PST quotient tables + the evaluation, in ONE program per size.
+
+    The reference computes the per-variable quotient table and the folded
+    remainder together from the same even/odd split (open.rs:42-45); this
+    runs that whole ladder — and the evaluation, which is the final fold —
+    as one dispatch, so an opening issues one program instead of ~4 small
+    per-width programs per level.
+
+    poly: (16, 2^nv) Montgomery; point_mont: (16, nv).
+    Returns (qcat: (16, 2^nv - 1) CANONICAL scalars, levels concatenated
+    largest-first — exactly the layout ops/msm.msm_many consumes; eval:
+    (16, 1) canonical).
+    """
+    k = poly.shape[0]
+    nv = int(poly.shape[1]).bit_length() - 1
+    r = poly
+    outs = []
+    for i in range(nv):
+        pairs = r.reshape(k, r.shape[1] // 2, 2)
+        even, odd = pairs[:, :, 0], pairs[:, :, 1]
+        q = fo.sub(FR, odd, even)  # quotient table, size 2^(nv-1-i)
+        outs.append(fo.from_mont(FR, q))
+        # fold = even + p_i * (odd - even) = even + p_i * q
+        r = fo.add(FR, even, fo.mont_mul(FR, q, point_mont[:, i : i + 1]))
+    return jnp.concatenate(outs, axis=1), fo.from_mont(FR, r)
+
+
 def open_poly(pp: PublicParameter, poly, point: List[int]):
     """Evaluate poly at point and produce the PST opening proof.
 
     point: list of nv host ints. Returns (eval:int, OpenProof, q_tables)
     — q_tables returned like the reference's third tuple element
-    (open.rs:19-58, used by its sanity tests).
+    (open.rs:19-58, used by its sanity tests; canonical-form slices here).
     """
     nv = pp.nv
     if len(point) != nv:
         raise invalid_arg("point dimension mismatch")
     point_mont = fo.encode_mont(FR, point)
-    with span("open eval"):
-        eval_res = fo.decode_mont(FR, mle.eval_at(poly, point_mont))[0]
+    with span("open quotients + eval"):
+        qcat, ev_limbs = _quotients_and_eval(poly, point_mont)
 
-    r_table = poly
-    device_results = []
     q_tables = []
-    with span("open quotients + G2 MSMs"):
+    sizes, scalars_list, bases_list = [], [], []
+    with span("open G2 MSMs"):
+        off = 0
         for i in range(nv):
-            k, n = r_table.shape
-            pairs = r_table.reshape(k, n // 2, 2)
-            even, odd = pairs[:, :, 0], pairs[:, :, 1]
-            q = fo.sub(FR, odd, even)  # quotient table, size 2^(nv-1-i)
+            m = 1 << (nv - 1 - i)
+            q = qcat[:, off : off + m]
+            off += m
             q_tables.append(q)
-            r_table = mle.fold(r_table, point_mont[:, i])
             if pp.powers_of_h_comb is not None:
                 # MSM over pairwise-combined bases == the reference's
                 # duplicated-scalar MSM (open.rs:46-48) at half the points.
-                scalars = fo.from_mont(FR, q)
-                bases = pp.powers_of_h_comb[i]
+                scalars_list.append(q)
+                bases_list.append(pp.powers_of_h_comb[i])
             else:
-                scalars = fo.from_mont(FR, jnp.repeat(q, 2, axis=1))
-                bases = pp.powers_of_h[i]
-            # pad small levels to one shared 128-point program: zero scalars
-            # land in bucket 0 (never accumulated), so padding is identity.
-            m = scalars.shape[1]
-            if m < 128:
-                scalars = jnp.concatenate(
-                    [scalars, jnp.zeros((FR.nlimb, 128 - m), scalars.dtype)], axis=1
+                scalars_list.append(jnp.repeat(q, 2, axis=1))
+                bases_list.append(pp.powers_of_h[i])
+            sizes.append(scalars_list[-1].shape[1])
+
+        # Fuse the per-level MSMs into as few composite programs as the lane
+        # budget allows (ops/msm.msm_many): the whole opening then costs about
+        # one commit-sized MSM instead of nv sequential ones. Oversized levels
+        # (beyond the lane budget) run individually via msm's window chunking.
+        nw = 32  # 256-bit scalars / 8-bit windows
+        max_lanes = 1 << 21
+        device_results = [None] * nv
+        group: list = []
+
+        def _flush(group):
+            if not group:
+                return
+            idxs = [g for g in group]
+            cat = lambda arrs: jnp.concatenate(arrs, axis=-1)
+            bases = jax.tree_util.tree_map(
+                lambda *leaves: cat(list(leaves)), *[bases_list[g] for g in idxs]
+            )
+            scalars = jnp.concatenate([scalars_list[g] for g in idxs], axis=1)
+            res = msm_mod.msm_many(
+                bases, tuple(sizes[g] for g in idxs), scalars, "fp2"
+            )
+            for j, g in enumerate(idxs):
+                device_results[g] = jax.tree_util.tree_map(
+                    lambda a: a[..., j : j + 1], res
                 )
-                bases = jax.tree_util.tree_map(
-                    lambda a: jnp.concatenate(
-                        [a, jnp.zeros(a.shape[:-1] + (128 - m,), a.dtype)], axis=-1
-                    ),
-                    bases,
-                )
-            # dispatch only — JAX queues the level MSMs asynchronously; all
-            # decodes happen after the loop so the device pipelines levels.
-            device_results.append(msm_mod.msm(bases, scalars, "fp2"))
+
+        budget = 0
+        for i in range(nv):
+            if nw * sizes[i] > max_lanes:
+                device_results[i] = msm_mod.msm(bases_list[i], scalars_list[i], "fp2")
+                continue
+            if group and budget + nw * sizes[i] > max_lanes:
+                _flush(group)
+                group, budget = [], 0
+            group.append(i)
+            budget += nw * sizes[i]
+        _flush(group)
 
         proofs = cv.g2_decode_many(device_results)  # one host fetch for all levels
 
+    eval_res = fo.decode_ints(FR, ev_limbs)[0]
     return eval_res, OpenProof(h=pp.h, proofs=proofs), q_tables
 
 

@@ -53,35 +53,68 @@ def _rotr(x, n: int):
     return (x >> U32(n)) | (x << U32(32 - n))
 
 
-def _g(v, a, b, c, d, x, y):
-    v[a] = v[a] + v[b] + x
-    v[d] = _rotr(v[d] ^ v[a], 16)
-    v[c] = v[c] + v[d]
-    v[b] = _rotr(v[b] ^ v[c], 12)
-    v[a] = v[a] + v[b] + y
-    v[d] = _rotr(v[d] ^ v[a], 8)
-    v[c] = v[c] + v[d]
-    v[b] = _rotr(v[b] ^ v[c], 7)
+def _g_vec(a, b, c, d, x, y):
+    """The Blake2s G mix on (4, ...) row vectors — 4 quads at once."""
+    a = a + b + x
+    d = _rotr(d ^ a, 16)
+    c = c + d
+    b = _rotr(b ^ c, 12)
+    a = a + b + y
+    d = _rotr(d ^ a, 8)
+    c = c + d
+    b = _rotr(b ^ c, 7)
+    return a, b, c, d
 
 
 def _compress(h, m, t, last: bool):
     """One Blake2s compression. h: list of 8 (...,) uint32; m: list of 16;
-    t: byte counter (Python int or traced uint32 — messages < 4 GiB)."""
-    v = list(h) + [jnp.broadcast_to(U32(x), h[0].shape) for x in _IV]
-    v[12] = v[12] ^ jnp.asarray(t, U32)
-    if last:
-        v[14] = v[14] ^ U32(0xFFFFFFFF)
-    for r in range(10):
-        s = _SIGMA[r]
-        _g(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
-        _g(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
-        _g(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
-        _g(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
-        _g(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
-        _g(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
-        _g(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
-        _g(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
-    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    t: byte counter (Python int or traced uint32 — messages < 4 GiB).
+
+    The working state is a (4 rows, 4 cols, ...) array: the 8 G mixes per
+    round collapse to ONE vectorized column step and ONE diagonal step (rows
+    rotated into alignment), and the 10 rounds run under lax.scan with the
+    sigma-permuted message words pre-gathered — so the traced body is ~60 ops
+    instead of ~1000. Fully unrolled, every Fiat–Shamir feed/sample call site
+    inlined a ~0.3 MB HLO blob and transcript programs took minutes to
+    compile (the round-3 lesson). Bit-identical to hashlib.blake2s.
+    """
+    bshape = h[0].shape
+    iv = [jnp.broadcast_to(U32(x), bshape) for x in _IV]
+    v12 = iv[4] ^ jnp.asarray(t, U32)
+    v14 = iv[6] ^ U32(0xFFFFFFFF) if last else iv[6]
+    v = jnp.stack(
+        [
+            jnp.stack(h[0:4]),
+            jnp.stack(h[4:8]),
+            jnp.stack(iv[0:4]),
+            jnp.stack([v12, iv[5], v14, iv[7]]),
+        ]
+    )  # (4, 4, ...): flat index i -> (row i//4, col i%4)
+
+    m_arr = jnp.stack(m)  # (16, ...)
+    msel = jnp.take(m_arr, jnp.asarray(_SIGMA), axis=0)  # (10, 16, ...)
+
+    def round_step(v, ms):
+        # column step: quads (0,4,8,12)..(3,7,11,15) = the 4 columns
+        a, b, c, d = v[0], v[1], v[2], v[3]
+        a, b, c, d = _g_vec(a, b, c, d, ms[0:8:2], ms[1:8:2])
+        # diagonal step: quads (0,5,10,15).. — rotate rows into alignment
+        b, c, d = (
+            jnp.roll(b, -1, axis=0),
+            jnp.roll(c, -2, axis=0),
+            jnp.roll(d, -3, axis=0),
+        )
+        a, b, c, d = _g_vec(a, b, c, d, ms[8:16:2], ms[9:16:2])
+        b, c, d = (
+            jnp.roll(b, 1, axis=0),
+            jnp.roll(c, 2, axis=0),
+            jnp.roll(d, 3, axis=0),
+        )
+        return jnp.stack([a, b, c, d]), None
+
+    v, _ = jax.lax.scan(round_step, v, msel)
+    out = jnp.stack(h[0:4] + h[4:8]).reshape(v[0:2].shape) ^ v[0:2] ^ v[2:4]
+    return [out[i, j] for i in range(2) for j in range(4)]
 
 
 def blake2s_words(msg):

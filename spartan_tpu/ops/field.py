@@ -204,9 +204,13 @@ def _acc_split(acc):
 def mont_mul(spec: FieldSpec, a, b):
     """(a * b * 2^-(16K)) mod m, canonical in/out. Broadcasts over batch dims.
 
-    Both phases run as lax.fori_loop so each traces once (the MSM/curve
-    layers compose thousands of these; unrolled limb loops made XLA graphs
-    ~100x larger and CPU compiles took minutes)."""
+    Interleaved 16-bit CIOS as ONE lax.fori_loop whose body is static-slice
+    only (the same formulation as the Pallas kernel, pallas_field.py): per
+    b-limb step, accumulate a*b_j and the Montgomery correction, then shift
+    the accumulator down one limb — a concat, not a dynamic update. The MSM/
+    curve layers compose thousands of these call sites, so per-site HLO size
+    sets whole-program compile time; the earlier dynamic-slice two-phase loop
+    tripled it."""
     if _use_pallas() and a.ndim >= 2 and b.ndim >= 2:
         from spartan_tpu.ops import pallas_field
 
@@ -214,41 +218,44 @@ def mont_mul(spec: FieldSpec, a, b):
     k = spec.nlimb
     a, b = jnp.broadcast_arrays(a, b)
     bshape = a.shape[1:]
-    # derive the accumulator from `a` so it inherits shard_map varying axes
-    # (a plain jnp.zeros carry breaks lax loops under shard_map)
-    zero_k = jnp.zeros_like(a)
-    acc = jnp.concatenate([zero_k, zero_k, zero_k[:1]], axis=0)
     m_col = jnp.asarray(spec.m_limbs).reshape((k,) + (1,) * len(bshape))
     inv16 = U32(spec.inv16)
+    # derive zeros from `a` so loop carries inherit shard_map varying axes
+    # (a plain jnp.zeros carry breaks lax loops under shard_map)
+    zrow = a[:1] * 0  # (1, ...)
+    zpad = jnp.concatenate([zrow, zrow], axis=0)  # (2, ...)
+    acc0 = jnp.concatenate([jnp.zeros_like(a), zpad], axis=0)  # (K+2, ...)
 
-    # ---- product phase: acc = a * b (redundant limbs < 2^17)
-    def prod_step(j, acc):
-        p = a * b[j][None, ...]  # (K, ...) exact 32-bit products
-        chunk = jax.lax.dynamic_slice_in_dim(acc, j, k + 1, axis=0)
-        pad = jnp.zeros((1,) + bshape, U32)
-        chunk = chunk + jnp.concatenate([p & MASK16, pad], axis=0)
-        chunk = chunk + jnp.concatenate([pad, p >> 16], axis=0)
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, chunk, j, axis=0)
-        return _acc_split(acc)
+    def step(j, carry):
+        acc, bcur = carry
+        bj = bcur[0:1]  # current limb of b (rotating copy, row 0)
+        # zero row derived from b itself: under shard_map, a and b may have
+        # different varying axes and the carry type must be stable
+        bcur = jnp.concatenate([bcur[1:], bcur[:1] * 0], axis=0)
+        p = a * bj  # (K, ...) exact 32-bit products
+        acc = (
+            acc
+            + jnp.concatenate([p & MASK16, zpad], axis=0)
+            + jnp.concatenate([zrow, p >> 16, zrow], axis=0)
+        )
+        mi = (acc[0] * inv16) & MASK16  # low 16 bits correct despite lazies
+        q = m_col * mi[None, ...]
+        acc = (
+            acc
+            + jnp.concatenate([q & MASK16, zpad], axis=0)
+            + jnp.concatenate([zrow, q >> 16, zrow], axis=0)
+        )
+        # limb 0 now divisible by 2^16: shift down one limb, folding its
+        # high part into the new low limb
+        carry0 = acc[0] >> 16
+        acc = jnp.concatenate([acc[1:], zrow], axis=0)
+        acc = acc + jnp.concatenate([carry0[None, ...], jnp.zeros_like(acc[1:])], axis=0)
+        return _acc_split(acc), bcur  # lazy split keeps limbs < 2^17
 
-    acc = jax.lax.fori_loop(0, k, prod_step, acc)
+    acc, _ = jax.lax.fori_loop(0, k, step, (acc0, b))
 
-    # ---- reduction phase: 16-bit Montgomery steps
-    def red_step(i, acc):
-        mi = (acc[i] * inv16) & MASK16  # low 16 bits correct despite wrap
-        p = m_col * mi[None, ...]
-        chunk = jax.lax.dynamic_slice_in_dim(acc, i, k + 1, axis=0)
-        pad = jnp.zeros((1,) + bshape, U32)
-        chunk = chunk + jnp.concatenate([p & MASK16, pad], axis=0)
-        chunk = chunk + jnp.concatenate([pad, p >> 16], axis=0)
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, chunk, i, axis=0)
-        return _acc_split(acc)
-
-    acc = jax.lax.fori_loop(0, k, red_step, acc)
-
-    res = acc[k : 2 * k + 1]  # K+1 limbs, value < 2m
-    res = lb.carry_exact(res)
-    m_ext = np.concatenate([spec.m_limbs, np.zeros(1, np.uint32)])
+    res = lb.carry_exact(acc)  # (K+2, ...), value < 2m
+    m_ext = np.concatenate([spec.m_limbs, np.zeros(2, np.uint32)])
     res = lb.sub_cond(res, m_ext)
     return res[:k]
 

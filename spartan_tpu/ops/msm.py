@@ -136,10 +136,19 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
         seg_start = ks != prev_k  # (chunk*N,) bool
 
         # Hillis-Steele segmented inclusive scan with point-add combiner:
-        # state: (acc points, reached_start flags). fori_loop keeps the
-        # point-add body traced once (distance is a traced value via roll).
-        def hs_step(s, state):
-            acc, reached = state
+        # state: (step, acc points, reached_start flags). The body is traced
+        # once (distance is a traced value via roll), and the scan runs as a
+        # lax.while_loop that STOPS once every lane has absorbed its whole
+        # segment: random digits make segments ~N/2^c long, so typically
+        # ~log2(max_segment) passes execute instead of the worst-case
+        # log2(total) — each pass is a full-width batched point add, so this
+        # halves the dominant MSM cost. Worst case still terminates at logt.
+        def hs_cond(state):
+            s, _acc, reached = state
+            return (s < logt) & ~jnp.all(reached)
+
+        def hs_step(state):
+            s, acc, reached = state
             dist = jnp.int32(1) << s
             shifted = _tree_roll_masked(acc, dist, inf_t, total)
             r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
@@ -147,9 +156,11 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
             cand = cv.add(f, shifted, acc)
             new_acc = cv.select_point(f, take, cand, acc)
             new_reached = reached | r_shift
-            return new_acc, new_reached
+            return s + 1, new_acc, new_reached
 
-        acc, _reached = jax.lax.fori_loop(0, logt, hs_step, (ps, seg_start))
+        _s, acc, _reached = jax.lax.while_loop(
+            hs_cond, hs_step, (jnp.int32(0), ps, seg_start)
+        )
 
         # segment ends: next element starts a new segment (or last element)
         next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
@@ -208,6 +219,108 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
 
     ws = jnp.arange(nw - 1, -1, -1, dtype=jnp.int32)
     result, _ = jax.lax.scan(window_step, inf_1, ws)
+    return result
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
+def msm_many(
+    points: PointBatch, sizes, scalars, fname: str = "fp", c: int = 8
+) -> PointBatch:
+    """L independent Pippenger MSMs fused into ONE program.
+
+    The opening proof needs one MSM per variable over shrinking tables
+    (reference src/commitment/open.rs:37-51 runs them serially); issuing them
+    as separate programs repeats the full sort + scan pass structure per
+    level. Here a composite key (problem, window, digit) lets a single
+    argsort + one segmented scan + one bucket reduction cover every level at
+    once — total lane count equals ONE MSM over the concatenated points, so
+    the whole opening costs about as much as the commit.
+
+    points: PointBatch over sum(sizes) (concatenated per-problem bases).
+    sizes: static tuple of per-problem point counts. scalars: (16, sum(sizes))
+    canonical. Returns a PointBatch batched over len(sizes) (Jacobian).
+    """
+    f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
+    sizes = tuple(int(s) for s in sizes)
+    n = sum(sizes)
+    L = len(sizes)
+    assert scalars.shape[1] == n
+    digits = digits_from_limbs(scalars, c)  # (nw, N)
+    nw = digits.shape[0]
+    nbuckets = 1 << c
+
+    def _zeros_sized(size: int) -> PointBatch:
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape[:-1] + (size,), a.dtype) + a[..., :1] * 0,
+            points,
+        )
+
+    total = nw * n
+    glen = L * nw * nbuckets
+    inf_t = _zeros_sized(total)
+    inf_g = _zeros_sized(glen)
+    lane = jnp.arange(total)
+    logt = max(1, (total - 1).bit_length())
+
+    pid = np.repeat(np.arange(L, dtype=np.int32), np.asarray(sizes))  # (N,)
+    w_ids = jnp.arange(nw, dtype=jnp.int32)[:, None]
+    key = ((jnp.asarray(pid)[None, :] * nw + w_ids) * nbuckets + digits).reshape(-1)
+    order = jnp.argsort(key)
+    ks = jnp.take(key, order)
+    ps = _tree_take(points, order % n)  # lane (w, i) -> point i, sorted
+
+    prev_k = jnp.concatenate([ks[:1] - 1, ks[:-1]])
+    seg_start = ks != prev_k
+
+    def hs_cond(state):
+        s, _acc, reached = state
+        return (s < logt) & ~jnp.all(reached)
+
+    def hs_step(state):
+        s, acc, reached = state
+        dist = jnp.int32(1) << s
+        shifted = _tree_roll_masked(acc, dist, inf_t, total)
+        r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
+        take = ~reached
+        cand = cv.add(f, shifted, acc)
+        new_acc = cv.select_point(f, take, cand, acc)
+        return s + 1, new_acc, reached | r_shift
+
+    _s, acc, _r = jax.lax.while_loop(hs_cond, hs_step, (jnp.int32(0), ps, seg_start))
+
+    next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
+    idx = jnp.where(next_start, ks, glen)
+    buckets = jax.tree_util.tree_map(
+        lambda b, a: b.at[..., idx].set(a, mode="drop"), inf_g, acc
+    )
+
+    pos = jnp.arange(glen) & (nbuckets - 1)
+    inf_l = _zeros_sized(glen)
+
+    def suffix_step(s, b):
+        dist = jnp.int32(1) << s
+        rolled = jax.tree_util.tree_map(lambda a: jnp.roll(a, -dist, axis=-1), b)
+        valid = pos + dist < nbuckets
+        sel = cv.select_point(f, valid, rolled, inf_l)
+        return cv.add(f, b, sel)
+
+    r2 = jax.lax.fori_loop(0, c, suffix_step, buckets)
+    r2 = jax.lax.fori_loop(0, c, suffix_step, r2)
+    w_idx = (jnp.arange(L * nw) * nbuckets + 1).reshape(L, nw)
+    wsums = _tree_take(r2, w_idx)  # (..., L, nw): weighted sums per problem
+
+    # Horner across windows, batched over the L problems (dynamic index
+    # over the minor window axis, (..., L) result lanes)
+    def window_step(result, w):
+        result = jax.lax.fori_loop(0, c, lambda _, r: cv.double(f, r), result)
+        col = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=-1, keepdims=False),
+            wsums,
+        )
+        return cv.add(f, result, col), None
+
+    ws = jnp.arange(nw - 1, -1, -1, dtype=jnp.int32)
+    result, _ = jax.lax.scan(window_step, _zeros_sized(L), ws)
     return result
 
 

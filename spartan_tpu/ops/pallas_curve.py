@@ -1,13 +1,17 @@
 """Fused Pallas kernels for Jacobian point arithmetic (G1/G2).
 
 One kernel per group op: the full add (with identity/doubling edge lanes)
-runs over VMEM row-lists, so the ~36 field multiplies of a point-add never
-round-trip HBM between ops. Compared to composing the per-field-op kernels,
-this cuts HBM traffic per MSM scan step ~10x and removes inter-kernel glue.
+runs over VMEM (K, B) limb arrays, so the ~36 field multiplies of a point-add
+never round-trip HBM between ops. Compared to composing the per-field-op
+kernels, this cuts HBM traffic per MSM scan step ~10x and removes
+inter-kernel glue.
 
-Builds on the row-list field primitives in pallas_field (the same unrolled
-Montgomery code, reused inside a larger kernel). Layout matches ops/curve.py:
-G1 coords are (24, N) uint32 Fp Montgomery limb arrays; G2 coords are pairs.
+Builds on the array-based field primitives in pallas_field (loop-based
+interleaved CIOS — see that module's compile-cost note; the earlier fully
+unrolled row-list version traced ~300k jaxpr ops per point-add kernel and
+cost minutes of tracing + Mosaic compilation each). Layout matches
+ops/curve.py: G1 coords are (24, N) uint32 Fp Montgomery limb arrays; G2
+coords are pairs.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ _BLOCK = 512  # batch lanes per block (VMEM: ~36 live (24,B) temporaries)
 
 
 class _Fp:
-    """Row-list Fp ops bound to the BLS12-381 base field."""
+    """(K, B)-array Fp ops bound to the BLS12-381 base field."""
 
     def __init__(self):
         self.m = FP.m_limbs
@@ -36,31 +40,31 @@ class _Fp:
         self.k = FP.nlimb
 
     def mul(self, a, b):
-        return pf._mont_mul_rows(a, b, self.m, self.inv16)
+        return pf._mont_mul_arr(a, b, self.m, self.inv16)
 
     def sq(self, a):
         return self.mul(a, a)
 
     def add(self, a, b):
-        return pf._add_rows(a, b, self.m)
+        return pf._add_arr(a, b, self.m)
 
     def sub(self, a, b):
-        return pf._sub_rows_v2(a, b, self.m)
+        return pf._sub_arr(a, b, self.m)
 
     def dbl(self, a):
         return self.add(a, a)
 
     def zero(self, like):
-        return [jnp.zeros_like(like[0]) for _ in range(self.k)]
+        return jnp.zeros_like(like)
 
     def is_zero(self, a):
         acc = a[0]
-        for r in a[1:]:
-            acc = acc | r
+        for i in range(1, self.k):
+            acc = acc | a[i]
         return acc == 0
 
     def select(self, mask, a, b):
-        return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+        return jnp.where(mask[None, :], a, b)
 
 
 class _Fp2:
@@ -95,7 +99,7 @@ class _Fp2:
         return self.add(a, a)
 
     def zero(self, like):
-        return (self.fp.zero(like[0]), self.fp.zero(like[0]))
+        return (self.fp.zero(like[0]), self.fp.zero(like[0]))  # like: pair
 
     def is_zero(self, a):
         return self.fp.is_zero(a[0]) & self.fp.is_zero(a[1])
@@ -160,12 +164,12 @@ def _add_rows_pts(f, x1, y1, z1, x2, y2, z2):
 
 
 def _rows(ref, k):
-    return [ref[i, :] for i in range(k)]
+    del k
+    return ref[...]
 
 
-def _store(ref, rows):
-    for i, r in enumerate(rows):
-        ref[i, :] = r
+def _store(ref, arr):
+    ref[...] = arr
 
 
 def _g1_add_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):

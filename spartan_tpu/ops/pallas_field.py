@@ -3,12 +3,22 @@
 The jnp limb implementation in ops/field.py lowers each Montgomery multiply
 to ~50 HLO ops with fori_loops and dynamic-slice accumulator updates; on TPU
 that structure round-trips the accumulator through memory every limb step and
-measured ~9M Fr muls/s — ~100x off the VPU integer roofline. These kernels
-run the whole schoolbook product + Montgomery reduction + carry + conditional
-subtract in one fused kernel over VMEM blocks, with the limb loops fully
-unrolled in-kernel (static K = 16 or 24 iterations over (K, B) registers).
+measured ~9M Fr muls/s — far off the VPU integer roofline. These kernels run
+the whole interleaved-CIOS Montgomery multiply + carry + conditional subtract
+in one kernel over VMEM blocks.
 
 Layout matches ops/field.py: (K, N) uint32 Montgomery limbs, batch minor.
+
+Compile-cost design (the round-2/3 lesson): the first version unrolled the
+K^2 schoolbook limb loop in-kernel — a G2 point-add kernel traced ~300k jaxpr
+ops and cost minutes of Python tracing plus minutes of Mosaic compilation,
+per kernel, per process (the TPU backend does not persistently cache Mosaic
+kernels). The multiply now runs as a lax.fori_loop over the K limbs of b
+whose body is traced ONCE: interleaved CIOS with a one-limb accumulator
+DOWN-SHIFT per step (a static slice — no dynamic accumulator indexing, which
+Mosaic lowers poorly). Kernel jaxprs are a few hundred ops; tracing is
+milliseconds and Mosaic compiles in seconds.
+
 Kernels are generated per FieldSpec and cached. Fall back to the jnp path on
 CPU (tests run both and compare bit-for-bit).
 """
@@ -23,113 +33,147 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MASK16 = 0xFFFF  # python int: pallas kernels may not capture array constants
+MASK16 = 0xFFFF  # python int: scalar constants are always safe to capture
 
 # default batch block (lanes x sublanes fill): 8 sublanes x 128 lanes x 4
 _BLOCK = 4096
 
+import os as _os
 
-def _carry_rows(rows):
-    """Exact carry propagation over a list of (B,) uint32 rows (in-kernel).
+# limbs of b consumed per fori_loop step in the CIOS multiply (must divide
+# both 16 and 24; compile cost grows, runtime shrinks with larger values)
+_UNROLL = int(_os.environ.get("SPARTAN_PALLAS_UNROLL", "4"))
 
-    Sequential ripple over the (static) row list: each step leaves row i
-    < 2^16 and pushes its high part up. Unrolled K+ steps of cheap VPU ops.
+
+def _shift_up(arr):
+    """(K, B) -> (K, B): out[i] = arr[i-1], out[0] = 0 (static slices)."""
+    return jnp.concatenate([jnp.zeros_like(arr[:1]), arr[:-1]], axis=0)
+
+
+def _carry_exact(acc):
+    """Exact carry propagation over a (K, B) lazy-limb array (in-kernel).
+
+    Sequential ripple, unrolled K cheap VPU steps; leaves every limb < 2^16.
+    Top carry dropped (callers ensure headroom in the leading limb).
     """
-    out = list(rows)
+    rows = [acc[i] for i in range(acc.shape[0])]
     carry = None
-    for i in range(len(out)):
-        v = out[i] if carry is None else out[i] + carry
-        out[i] = v & MASK16
+    for i in range(len(rows)):
+        v = rows[i] if carry is None else rows[i] + carry
+        rows[i] = v & MASK16
         carry = v >> 16
-    return out  # top carry dropped (callers ensure headroom)
+    return jnp.stack(rows, axis=0)
 
 
-def _sub_cond_rows(rows, m_limbs):
-    """rows - m if rows >= m else rows (rows: list of (B,) u16-limbs)."""
-    k = len(rows)
-    borrow = jnp.zeros_like(rows[0])
+def _sub_cond(acc, m_limbs):
+    """acc - m if acc >= m else acc; acc (K, B) exact 16-bit limbs."""
+    k = acc.shape[0]
+    borrow = jnp.zeros_like(acc[0])
     diff = []
     for i in range(k):
         mi = int(m_limbs[i]) if i < len(m_limbs) else 0
-        d = rows[i] - mi - borrow
+        d = acc[i] - mi - borrow
         borrow = (d >> 31) & 1  # u32 wraparound detection via sign bit
         diff.append(d & MASK16)
-    keep = borrow > 0  # borrow out -> rows < m
-    return [jnp.where(keep, r, d) for r, d in zip(rows, diff)]
+    keep = borrow > 0  # borrow out -> acc < m
+    return jnp.where(keep[None, :], acc, jnp.stack(diff, axis=0))
 
 
-def _mont_mul_rows(a_rows, b_rows, m_limbs, inv16):
-    """Unrolled CIOS-ish Montgomery multiply on row lists; returns K rows."""
-    k = len(a_rows)
-    acc = [jnp.zeros_like(a_rows[0]) for _ in range(2 * k + 1)]
-    for j in range(k):
-        bj = b_rows[j]
-        carry = jnp.zeros_like(bj)
-        for i in range(k):
-            p = a_rows[i] * bj
-            v = acc[i + j] + (p & MASK16) + carry
-            acc[i + j] = v & MASK16
-            carry = (v >> 16) + (p >> 16)
-        v = acc[j + k] + carry
-        acc[j + k] = v & MASK16
-        acc[j + k + 1] = acc[j + k + 1] + (v >> 16)
-    # Montgomery reduction
-    for i in range(k):
-        mi = (acc[i] * inv16) & MASK16
-        carry = jnp.zeros_like(mi)
-        for j in range(k):
-            p = mi * int(m_limbs[j])
-            v = acc[i + j] + (p & MASK16) + carry
-            acc[i + j] = v & MASK16
-            carry = (v >> 16) + (p >> 16)
-        v = acc[i + k] + carry
-        acc[i + k] = v & MASK16
-        acc[i + k + 1] = acc[i + k + 1] + (v >> 16)
-    res = _carry_rows(acc[k : 2 * k + 1])
-    res = _sub_cond_rows(res, m_limbs)
+def _mont_mul_arr(a, b, m_limbs, inv16):
+    """Interleaved-CIOS Montgomery multiply on (K, B) uint32 limb arrays.
+
+    Per b-limb step (fori_loop body, traced once):
+      acc += a * b[j]; m = acc[0] * inv16 mod 2^16; acc += m * M;
+      acc >>= one limb (static shift; the low limb is divisible by 2^16).
+    Lazy carries: a masked split keeps limbs < 2^17 so no uint32 overflows.
+    """
+    k = a.shape[0]
+    # scalar-constant rows (pallas kernels may not capture array constants)
+    m_col = jnp.concatenate(
+        [jnp.full_like(a[:1], int(m_limbs[i])) for i in range(k)], axis=0
+    )  # (K, B)
+    zpad = jnp.zeros((2,) + a.shape[1:], jnp.uint32)
+    acc0 = jnp.concatenate([jnp.zeros_like(a), zpad], axis=0)  # (K+2, B)
+
+    def one_limb(acc, bcur):
+        bj = bcur[0:1]  # (1, B): current limb of b
+        bcur = jnp.concatenate([bcur[1:], jnp.zeros_like(bcur[:1])], axis=0)
+        p = a * bj  # (K, B) exact 32-bit products
+        acc = (
+            acc
+            + jnp.concatenate([p & MASK16, zpad], axis=0)
+            + jnp.concatenate([zpad[:1], p >> 16, zpad[:1]], axis=0)
+        )
+        mi = (acc[0] * inv16) & MASK16  # low 16 bits correct despite lazies
+        q = m_col * mi[None, :]  # (K, B)
+        acc = (
+            acc
+            + jnp.concatenate([q & MASK16, zpad], axis=0)
+            + jnp.concatenate([zpad[:1], q >> 16, zpad[:1]], axis=0)
+        )
+        # limb 0 is now divisible by 2^16: shift the accumulator down one
+        # limb, folding limb 0's high part into the new low limb
+        carry0 = acc[0] >> 16
+        acc = jnp.concatenate([acc[1:], zpad[:1]], axis=0)
+        # scatter-free static-index add (Mosaic lacks scatter lowering)
+        acc = acc + jnp.concatenate([carry0[None, :], jnp.zeros_like(acc[1:])], axis=0)
+        # lazy split keeps limbs < 2^17
+        return (acc & MASK16) + _shift_up(acc >> 16), bcur
+
+    # consume b's limbs in order without dynamic indexing (unsupported in
+    # Mosaic): keep a rotating copy whose row 0 is the current limb. _UNROLL
+    # limbs per fori step trade a slightly larger traced body for better
+    # Mosaic scheduling (measured ~1.5x on the MSM-dominant mul).
+    u = _UNROLL if k % _UNROLL == 0 else 1
+
+    def step(j, carry):
+        acc, bcur = carry
+        for _ in range(u):
+            acc, bcur = one_limb(acc, bcur)
+        return acc, bcur
+
+    acc, _ = jax.lax.fori_loop(0, k // u, step, (acc0, b))
+    res = _carry_exact(acc)  # value < 2m, exact limbs
+    res = _sub_cond(res, np.concatenate([m_limbs, np.zeros(2, np.uint32)]))
     return res[:k]
 
 
-def _add_rows(a_rows, b_rows, m_limbs):
-    k = len(a_rows)
-    s = [a_rows[i] + b_rows[i] for i in range(k)] + [jnp.zeros_like(a_rows[0])]
-    s = _carry_rows(s)
-    s = _sub_cond_rows(s, np.concatenate([m_limbs, np.zeros(1, np.uint32)]))
-    return s[:k]
+def _add_arr(a, b, m_limbs):
+    s = jnp.concatenate([a + b, jnp.zeros_like(a[:1])], axis=0)
+    s = _carry_exact(s)
+    s = _sub_cond(s, np.concatenate([m_limbs, np.zeros(1, np.uint32)]))
+    return s[: a.shape[0]]
 
 
-def _sub_rows_v2(a_rows, b_rows, m_limbs):
+def _sub_arr(a, b, m_limbs):
     """a - b mod m via a + (2^16K + m - b) trick with plain carries."""
-    k = len(a_rows)
-    # t = a + m + (~b & mask) + 1 == a + m - b + 2^16K
-    rows = []
-    for i in range(k):
-        comp = (MASK16 - b_rows[i]) & MASK16
-        rows.append(a_rows[i] + int(m_limbs[i]) + comp)
-    rows[0] = rows[0] + 1
-    rows.append(jnp.zeros_like(a_rows[0]))
-    rows = _carry_rows(rows)
+    k = a.shape[0]
+    m_col = jnp.concatenate(
+        [jnp.full_like(a[:1], int(m_limbs[i])) for i in range(k)], axis=0
+    )
+    comp = (MASK16 - b) & MASK16
+    rows = a + m_col + comp
+    rows = rows + jnp.concatenate(
+        [jnp.full_like(rows[:1], 1), jnp.zeros_like(rows[1:])], axis=0
+    )
+    rows = jnp.concatenate([rows, jnp.zeros_like(a[:1])], axis=0)
+    rows = _carry_exact(rows)
     res = rows[:k]  # dropping row k removes the 2^16K bias
-    res = _sub_cond_rows(res, m_limbs)
-    return res
+    return _sub_cond(res, m_limbs)
 
 
 def _make_kernel(op: str, spec):
     m_limbs = spec.m_limbs
     inv16 = int(spec.inv16)
-    k = spec.nlimb
 
     def kernel(a_ref, b_ref, o_ref):
-        a_rows = [a_ref[i, :] for i in range(k)]
-        b_rows = [b_ref[i, :] for i in range(k)]
+        a, b = a_ref[...], b_ref[...]
         if op == "mul":
-            out = _mont_mul_rows(a_rows, b_rows, m_limbs, inv16)
+            o_ref[...] = _mont_mul_arr(a, b, m_limbs, inv16)
         elif op == "add":
-            out = _add_rows(a_rows, b_rows, m_limbs)
+            o_ref[...] = _add_arr(a, b, m_limbs)
         else:
-            out = _sub_rows_v2(a_rows, b_rows, m_limbs)
-        for i in range(k):
-            o_ref[i, :] = out[i]
+            o_ref[...] = _sub_arr(a, b, m_limbs)
 
     return kernel
 

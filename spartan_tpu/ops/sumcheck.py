@@ -100,3 +100,56 @@ def prod2_round(w, z, do_fold: bool, r):
         w = mle.fold(w, r)
         z = mle.fold(z, r)
     return prod2_evals3(w, z), w, z
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width tail rounds
+#
+# Per-width round programs are shared across proof sizes, but a cold prove at
+# 2^k would still compile ~k of them. Once tables shrink to TAIL_W the rounds
+# run in ONE fixed-width program instead: tables stay physically (16, TAIL_W),
+# zero-padded beyond the logical size. Zero is a fixed point of fold/add/mul,
+# and the inner sums weight pad lanes by a zero-padded suffix table (or by
+# zero products), so the emitted evaluations are bit-identical to the
+# per-width path. Wasted work is O(TAIL_W * log TAIL_W) field ops per proof —
+# noise next to the MSMs.
+# ---------------------------------------------------------------------------
+
+TAIL_W = 1024
+
+
+def pad_cols(t, w: int):
+    """Zero-pad the minor axis to width w (no-op if already there)."""
+    if t.shape[-1] == w:
+        return t
+    return jnp.concatenate(
+        [t, jnp.zeros(t.shape[:-1] + (w - t.shape[-1],), t.dtype)], axis=-1
+    )
+
+
+def _repad(t):
+    """(16, W/2) -> (16, W) with a zero upper half (post-fold re-pad)."""
+    return jnp.concatenate([t, jnp.zeros_like(t)], axis=-1)
+
+
+@jax.jit
+def sc1_tail_round(az, bz, cz, s_table, r):
+    """SC1 round at fixed width: fold by r, inner quadratic, re-pad.
+
+    az/bz/cz: (16, TAIL_W) zero-padded; s_table: (16, TAIL_W//4) zero-padded
+    (the fold halves the tables before the evals halve them again).
+    One program ever, shared by every proof size and every tail round.
+    """
+    az = mle.fold(az, r)
+    bz = mle.fold(bz, r)
+    cz = mle.fold(cz, r)
+    q = sc1_evals3(az, bz, cz, s_table)
+    return q, _repad(az), _repad(bz), _repad(cz)
+
+
+@jax.jit
+def prod2_tail_round(w, z, r):
+    """Degree-2 round at fixed width: fold by r, evals, re-pad."""
+    w = mle.fold(w, r)
+    z = mle.fold(z, r)
+    return prod2_evals3(w, z), _repad(w), _repad(z)

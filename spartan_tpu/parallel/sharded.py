@@ -93,11 +93,12 @@ def sc1_round_kernel(az, bz, cz, s_table):
     return jnp.stack(out, axis=1).reshape(k, 3)
 
 
-def make_sharded_sc1_round(mesh: Mesh):
-    """Build the jitted sharded round: fold + evaluate, psum across shards.
+def make_sharded_sc1_round(mesh: Mesh, do_fold: bool = True):
+    """Build the jitted sharded round: (fold +) evaluate, psum across shards.
 
     Input tables sharded P(None, 'hc'); returns ((16,3) evals replicated,
-    folded tables still sharded).
+    tables still sharded). do_fold=False builds the first-round variant
+    (round 0 takes no verifier randomness — reference prover.rs:199-207).
     """
 
     @partial(
@@ -107,14 +108,54 @@ def make_sharded_sc1_round(mesh: Mesh):
         out_specs=(P(None), P(None, HC_AXIS), P(None, HC_AXIS), P(None, HC_AXIS)),
     )
     def round_fn(az, bz, cz, s_table, r):
-        az = mle.fold(az, r)
-        bz = mle.fold(bz, r)
-        cz = mle.fold(cz, r)
+        if do_fold:
+            az = mle.fold(az, r)
+            bz = mle.fold(bz, r)
+            cz = mle.fold(cz, r)
         local = sc1_round_kernel(az, bz, cz, s_table)
         # cross-shard reduction: limb-wise u32 sum then one wide reduction.
         total = jax.lax.psum(local, HC_AXIS)
         total = fo.reduce_wide(FR, total)
         return total, az, bz, cz
+
+    return jax.jit(round_fn)
+
+
+def make_sharded_prod2_round(mesh: Mesh, do_fold: bool = True):
+    """Sharded degree-2 sumcheck round (sumcheck 2): fold + evals + psum."""
+    from spartan_tpu.ops import sumcheck as sck
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, HC_AXIS),) * 2 + (P(None),),
+        out_specs=(P(None), P(None, HC_AXIS), P(None, HC_AXIS)),
+    )
+    def round_fn(w, z, r):
+        if do_fold:
+            w = mle.fold(w, r)
+            z = mle.fold(z, r)
+        k, n = w.shape
+
+        def halves(tab):
+            p = tab.reshape(k, n // 2, 2)
+            return p[:, :, 0], p[:, :, 1]
+
+        w_e, w_o = halves(w)
+        z_e, z_o = halves(z)
+        w_d = fo.sub(FR, w_o, w_e)
+        z_d = fo.sub(FR, z_o, z_e)
+        out = []
+        w_t, z_t = w_e, z_e
+        for t in range(3):
+            if t > 0:
+                w_t = fo.add(FR, w_t, w_d)
+                z_t = fo.add(FR, z_t, z_d)
+            out.append(mle.sum_mod(fo.mont_mul(FR, w_t, z_t)))
+        local = jnp.stack(out, axis=1).reshape(k, 3)
+        total = jax.lax.psum(local, HC_AXIS)
+        total = fo.reduce_wide(FR, total)
+        return total, w, z
 
     return jax.jit(round_fn)
 

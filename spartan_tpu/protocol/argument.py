@@ -67,7 +67,16 @@ class MLArgumentForR1CS:
 
     # -- prove -------------------------------------------------------------
     @staticmethod
-    def prove(pk: IndexPK, v: List[int], w: List[int], pp: PublicParameter) -> Proof:
+    def prove(
+        pk: IndexPK, v: List[int], w: List[int], pp: PublicParameter, mesh=None
+    ) -> Proof:
+        """Non-interactive prove. With ``mesh`` (a jax.sharding.Mesh), the
+        commit/opening MSMs and both sumchecks run sharded over the mesh
+        (parallel/sharded_prove.py) — same proof bytes at any device count."""
+        if mesh is not None:
+            from spartan_tpu.parallel import sharded_prove
+
+            return sharded_prove.prove(pk, v, w, pp, mesh)
         log_n = pk.log_n
         fs = Blake2sRng.setup()
         fs.feed(pk.matrix_a.serialize())

@@ -79,3 +79,50 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end sharded prove: byte-identical proofs at every device count
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_instance():
+    from spartan_tpu.models.synthesizer import generate_circuit_with_random_input
+    from spartan_tpu.protocol.argument import MLArgumentForR1CS
+
+    log_n, log_v = 5, 2
+    rng = random.Random(3)
+    cs, v, w = generate_circuit_with_random_input(
+        num_public=1 << log_v, num_private=(1 << log_n) - (1 << log_v),
+        pad_to_square=True, density=1, rng=rng,
+    )
+    a, b, c = cs.to_matrices()
+
+    class _Rng:
+        def __init__(self, seed):
+            self._r = random.Random(seed)
+
+        def sample_fr(self):
+            return self._r.randrange(hf.R)
+
+    pp, vp = MLArgumentForR1CS.setup(log_n, _Rng(7))
+    pk = MLArgumentForR1CS.index(a, b, c)
+    proof = MLArgumentForR1CS.prove(pk, v, w, pp)  # single-device reference
+    assert MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
+    return pk, v, w, pp, vp, proof.serialize()
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_prove_bit_identical(tiny_instance, ndev):
+    """prove(..., mesh=...) must emit byte-identical proofs at any shard
+    count (new-design axis, SURVEY.md §2.3; determinism contract §5)."""
+    from spartan_tpu.protocol.argument import MLArgumentForR1CS
+
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    pk, v, w, pp, vp, want_bytes = tiny_instance
+    mesh = sh.make_mesh(ndev)
+    proof = MLArgumentForR1CS.prove(pk, v, w, pp, mesh=mesh)
+    assert proof.serialize() == want_bytes
+    assert MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
