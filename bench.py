@@ -26,7 +26,7 @@ time including compiles, so nothing bigger ever ran):
 Environment knobs:
   SPARTAN_BENCH_BUDGET_S  global wall budget in seconds (default 1500)
   SPARTAN_BENCH_SIZES     comma list of log_n to escalate through
-                          (default 6,8,10,12,14)
+                          (default 6,12,14,16)
   SPARTAN_BENCH_REPS      timed prove repetitions after warmup (default 1)
   SPARTAN_BENCH_DENSITY   circuit density knob (default 0; reference sweeps
                           0..229 — src/benchmark.rs:69-78)
@@ -107,7 +107,7 @@ def child_main():
     density = int(os.environ.get("SPARTAN_BENCH_DENSITY", "0"))
     sizes = [
         int(s)
-        for s in os.environ.get("SPARTAN_BENCH_SIZES", "6,8,10,12,14").split(",")
+        for s in os.environ.get("SPARTAN_BENCH_SIZES", "6,12,14,16").split(",")
     ]
     log_v = 2
 

@@ -22,14 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# Backend-specific cache dir: the axon backend caches XLA:CPU AOT results
-# compiled on the tunnel server (different machine features); loading those
-# from a local CPU process hangs. Keep the caches separate.
+# Backend-specific cache dir (keyed off the ACTUAL backend — the
+# JAX_PLATFORMS env var is not reliably honored under the axon plugin)
 jax.config.update(
     "jax_compilation_cache_dir",
-    "/root/.cache/jax-cpu"
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
-    else "/root/.cache/jax",
+    "/root/.cache/jax-cpu" if jax.default_backend() == "cpu" else "/root/.cache/jax",
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -15,6 +15,7 @@ are O(n) G1/G2 points and never cross the wire in the protocol).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from spartan_tpu.commitment.data_structures import PublicParameter, VerifierParameter
@@ -38,6 +39,9 @@ def save_keys(path: str, pp: PublicParameter, vp: VerifierParameter) -> None:
             arrs[f"hc{i}_{cname}1"] = np.asarray(coord[1])
     meta = {
         "nv": pp.nv,
+        # fmt 2: combined opening bases stored affine-normalized (the MSM
+        # bucket walk relies on Z in {0,1} for its mixed adds)
+        "fmt": 2,
         "g": [pp.g[0], pp.g[1]],
         "h": [[pp.h[0][0], pp.h[0][1]], [pp.h[1][0], pp.h[1][1]]],
         "g_mask": [[p[0], p[1]] for p in vp.g_mask_random],
@@ -80,6 +84,24 @@ def load_keys(path: str):
                 (jnp.asarray(data[f"hc{i}_z0"]), jnp.asarray(data[f"hc{i}_z1"])),
             )
         )
+    if comb is not None and meta.get("fmt", 1) < 2:
+        # pre-fmt-2 caches stored Jacobian combined bases; normalize once so
+        # the mixed-add bucket walk's Z in {0,1} precondition holds
+        from spartan_tpu.commitment import scheme as _scheme
+
+        cat = jax.tree_util.tree_map(
+            lambda *ls: jnp.concatenate(list(ls), axis=-1), *comb
+        )
+        catn = _scheme._normalize_g2(cat)
+        out, off = [], 0
+        for pb in comb:
+            size = pb.x[0].shape[-1]
+            out.append(
+                jax.tree_util.tree_map(lambda a: a[..., off : off + size], catn)
+            )
+            off += size
+        comb = out
+
     g = tuple(meta["g"])
     h = (tuple(meta["h"][0]), tuple(meta["h"][1]))
     pp = PublicParameter(
@@ -89,6 +111,11 @@ def load_keys(path: str):
     vp = VerifierParameter(
         nv=nv, g=g, h=h, g_mask_random=[tuple(p) for p in meta["g_mask"]]
     )
+    if comb is not None and meta.get("fmt", 1) < 2:
+        try:  # upgrade the cache in place so the normalize pays only once
+            save_keys(path, pp, vp)
+        except OSError:
+            pass
     return pp, vp
 
 

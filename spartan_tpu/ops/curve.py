@@ -213,6 +213,54 @@ def add(f: FieldAdapter, p: PointBatch, q: PointBatch) -> PointBatch:
     return PointBatch(out_x, out_y, out_z)
 
 
+def add_mixed(f: FieldAdapter, p: PointBatch, q: PointBatch) -> PointBatch:
+    """Jacobian + affine-encoded point (Z2 = 1, or Z2 = 0 for infinity).
+
+    madd-2007-bl shape (a=0): 8M + 3S vs the full add's 12M + 4S — ~30%
+    cheaper. Valid whenever q comes from g1_encode/g2_encode or a normalized
+    key table (the MSM bucket walks and the fixed-base ladder always add
+    ORIGINAL base points, which are affine). Same edge-lane handling as add.
+    """
+    if _pallas_ok(p) and _pallas_ok(q):
+        from spartan_tpu.ops import pallas_curve
+
+        return (
+            pallas_curve.g1_madd(p, q) if f.name == "fp" else pallas_curve.g2_madd(p, q)
+        )
+    z1z1 = f.sq(p.z)
+    u2 = f.mul(q.x, z1z1)
+    s2 = f.mul(f.mul(q.y, p.z), z1z1)
+    h = f.sub(u2, p.x)
+    r = f.sub(s2, p.y)
+
+    h2 = f.sq(h)
+    h3 = f.mul(h, h2)
+    u1h2 = f.mul(p.x, h2)
+    r2 = f.sq(r)
+    x3 = f.sub(f.sub(r2, h3), f.dbl(u1h2))
+    y3 = f.sub(f.mul(r, f.sub(u1h2, x3)), f.mul(p.y, h3))
+    z3 = f.mul(p.z, h)
+    generic = PointBatch(x3, y3, z3)
+
+    p_inf = is_infinity(f, p)
+    q_inf = is_infinity(f, q)
+    h_zero = f.is_zero(h)
+    r_zero = f.is_zero(r)
+    same_point = h_zero & r_zero & ~p_inf & ~q_inf
+
+    dbl_res = double(f, p)
+    out_x = f.select(same_point, dbl_res.x, generic.x)
+    out_y = f.select(same_point, dbl_res.y, generic.y)
+    out_z = f.select(same_point, dbl_res.z, generic.z)
+    out_x = f.select(p_inf, q.x, out_x)
+    out_y = f.select(p_inf, q.y, out_y)
+    out_z = f.select(p_inf, q.z, out_z)
+    out_x = f.select(q_inf & ~p_inf, p.x, out_x)
+    out_y = f.select(q_inf & ~p_inf, p.y, out_y)
+    out_z = f.select(q_inf & ~p_inf, p.z, out_z)
+    return PointBatch(out_x, out_y, out_z)
+
+
 def select_point(f: FieldAdapter, mask, p: PointBatch, q: PointBatch) -> PointBatch:
     return PointBatch(
         f.select(mask, p.x, q.x), f.select(mask, p.y, q.y), f.select(mask, p.z, q.z)

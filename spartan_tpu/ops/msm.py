@@ -78,6 +78,110 @@ def _tree_roll_masked(p: PointBatch, dist, fill: PointBatch, n: int) -> PointBat
     return jax.tree_util.tree_map(sh, p, fill)
 
 
+def _bucket_accumulate(f, ps, ks, seg_start, glen, inf_t, inf_g, total):
+    """Sorted (point, key) lanes -> per-key bucket sums (PointBatch, glen).
+
+    Two strategies, chosen by average segment length (= total/glen), both
+    data-oblivious in SHAPE with data-dependent trip counts (lax.while_loop —
+    worst case bounded, adversarial scalars only cost time, never
+    correctness):
+
+    - dense (avg >= 4): serial-within-bucket accumulation. Each bucket walks
+      its contiguous segment one element per step, all glen buckets in
+      parallel: ~max_segment_length steps of glen-lane adds ≈ ONE add per
+      point total (for uniform digits max_segment ≈ avg + few sqrt(avg)).
+      This beats the segmented scan's total*log(seg) adds ~3x at 2^14.
+    - sparse (avg < 4): Hillis-Steele segmented inclusive scan over lanes
+      (log2(max_segment) full-width passes, early-exit while_loop), then
+      segment-end extraction scattered into buckets.
+    """
+    lane = jnp.arange(total)
+
+    if total >= 4 * glen:
+        # --- strided-within-bucket walk with S sub-walkers per bucket:
+        # walker s of bucket b consumes segment offsets s, s+S, s+2S, ... so
+        # the while_loop runs ~avg_segment/S (+deviation/S) steps; the S
+        # partials then merge with log2(S) halving adds. Total adds stay
+        # ~one per point; the sequential step count (each step is one
+        # batched add at glen*S lanes) drops by S.
+        avg = total // glen
+        s_sub = 1
+        while s_sub < 16 and avg // s_sub > 16:
+            s_sub *= 2
+        wl = glen * s_sub
+        idx = jnp.where(seg_start, ks, glen)
+        starts = (
+            jnp.full((glen,), total, dtype=jnp.int32)
+            .at[idx]
+            .set(lane.astype(jnp.int32), mode="drop")
+        )
+        starts_w = jnp.repeat(starts, s_sub) + jnp.tile(
+            jnp.arange(s_sub, dtype=jnp.int32), glen
+        )
+        bucket_ids_w = jnp.repeat(jnp.arange(glen, dtype=ks.dtype), s_sub)
+        inf_w = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape[:-1] + (wl,), a.dtype) + a[..., :1] * 0,
+            inf_g,
+        )
+
+        def cond(state):
+            _t, _acc, alive = state
+            return alive
+
+        def step(state):
+            t, acc, _alive = state
+            pos = starts_w + t * s_sub
+            inb = pos < total
+            posc = jnp.where(inb, pos, 0)
+            valid = inb & (jnp.take(ks, posc) == bucket_ids_w)
+            g = _tree_take(ps, posc)
+            # bases are affine-encoded (keygen normalizes; Z in {0,1}), so
+            # the cheaper mixed add applies (~30% fewer field muls)
+            cand = cv.add_mixed(f, acc, g)
+            acc = cv.select_point(f, valid, cand, acc)
+            return t + 1, acc, jnp.any(valid)
+
+        _t, acc, _ = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), inf_w, jnp.bool_(True))
+        )
+        # merge sub-walker partials (pairs adjacent in the s axis)
+        while s_sub > 1:
+            acc = cv.add(
+                f,
+                jax.tree_util.tree_map(lambda a: a[..., 0::2], acc),
+                jax.tree_util.tree_map(lambda a: a[..., 1::2], acc),
+            )
+            s_sub //= 2
+        return acc
+
+    # --- segmented scan (sparse): state (step, acc, reached_start flags)
+    logt = max(1, (total - 1).bit_length())
+
+    def hs_cond(state):
+        s, _acc, reached = state
+        return (s < logt) & ~jnp.all(reached)
+
+    def hs_step(state):
+        s, acc, reached = state
+        dist = jnp.int32(1) << s
+        shifted = _tree_roll_masked(acc, dist, inf_t, total)
+        r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
+        take = ~reached  # lanes that still extend into the left neighbor
+        cand = cv.add(f, shifted, acc)
+        new_acc = cv.select_point(f, take, cand, acc)
+        return s + 1, new_acc, reached | r_shift
+
+    _s, acc, _r = jax.lax.while_loop(
+        hs_cond, hs_step, (jnp.int32(0), ps, seg_start)
+    )
+    # segment ends: next element starts a new segment (or last element)
+    next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
+    idx = jnp.where(next_start, ks, glen)  # out-of-range -> dropped
+    return jax.tree_util.tree_map(
+        lambda b, a: b.at[..., idx].set(a, mode="drop"), inf_g, acc
+    )
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatch:
     """Pippenger MSM: sum_i scalars[i] * points[i].
@@ -134,43 +238,8 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
         # segment starts: first lane, or key change (digit OR window boundary)
         prev_k = jnp.concatenate([ks[:1] - 1, ks[:-1]])
         seg_start = ks != prev_k  # (chunk*N,) bool
-
-        # Hillis-Steele segmented inclusive scan with point-add combiner:
-        # state: (step, acc points, reached_start flags). The body is traced
-        # once (distance is a traced value via roll), and the scan runs as a
-        # lax.while_loop that STOPS once every lane has absorbed its whole
-        # segment: random digits make segments ~N/2^c long, so typically
-        # ~log2(max_segment) passes execute instead of the worst-case
-        # log2(total) — each pass is a full-width batched point add, so this
-        # halves the dominant MSM cost. Worst case still terminates at logt.
-        def hs_cond(state):
-            s, _acc, reached = state
-            return (s < logt) & ~jnp.all(reached)
-
-        def hs_step(state):
-            s, acc, reached = state
-            dist = jnp.int32(1) << s
-            shifted = _tree_roll_masked(acc, dist, inf_t, total)
-            r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
-            take = ~reached  # lanes that still extend into the left neighbor
-            cand = cv.add(f, shifted, acc)
-            new_acc = cv.select_point(f, take, cand, acc)
-            new_reached = reached | r_shift
-            return s + 1, new_acc, new_reached
-
-        _s, acc, _reached = jax.lax.while_loop(
-            hs_cond, hs_step, (jnp.int32(0), ps, seg_start)
-        )
-
-        # segment ends: next element starts a new segment (or last element)
-        next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
-        # scatter segment totals into the flat (chunk * 2^c) bucket array
-        # (conflict-free: keys at segment ends are unique)
-        idx = jnp.where(next_start, ks, glen)  # out-of-range -> dropped
-        buckets = jax.tree_util.tree_map(
-            lambda b, a: b.at[..., idx].set(a, mode="drop"),
-            inf_g,
-            acc,
+        buckets = _bucket_accumulate(
+            f, ps, ks, seg_start, glen, inf_t, inf_g, total
         )
         return None, buckets
 
@@ -257,10 +326,6 @@ def msm_many(
 
     total = nw * n
     glen = L * nw * nbuckets
-    inf_t = _zeros_sized(total)
-    inf_g = _zeros_sized(glen)
-    lane = jnp.arange(total)
-    logt = max(1, (total - 1).bit_length())
 
     pid = np.repeat(np.arange(L, dtype=np.int32), np.asarray(sizes))  # (N,)
     w_ids = jnp.arange(nw, dtype=jnp.int32)[:, None]
@@ -269,29 +334,29 @@ def msm_many(
     ks = jnp.take(key, order)
     ps = _tree_take(points, order % n)  # lane (w, i) -> point i, sorted
 
-    prev_k = jnp.concatenate([ks[:1] - 1, ks[:-1]])
-    seg_start = ks != prev_k
-
-    def hs_cond(state):
-        s, _acc, reached = state
-        return (s < logt) & ~jnp.all(reached)
-
-    def hs_step(state):
-        s, acc, reached = state
-        dist = jnp.int32(1) << s
-        shifted = _tree_roll_masked(acc, dist, inf_t, total)
-        r_shift = jnp.where(lane >= dist, jnp.roll(reached, dist), True)
-        take = ~reached
-        cand = cv.add(f, shifted, acc)
-        new_acc = cv.select_point(f, take, cand, acc)
-        return s + 1, new_acc, reached | r_shift
-
-    _s, acc, _r = jax.lax.while_loop(hs_cond, hs_step, (jnp.int32(0), ps, seg_start))
-
-    next_start = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
-    idx = jnp.where(next_start, ks, glen)
+    # The key is problem-major and every problem occupies EXACTLY nw*N_l
+    # sorted lanes (its digit count is data-independent), so each problem is
+    # a STATIC contiguous slice of the sorted arrays. Bucket-accumulate each
+    # problem separately so the dense/sparse strategy (see
+    # _bucket_accumulate) is chosen per problem — big opening levels take
+    # the ~1-add-per-point serial walk, tiny levels the short scan.
+    per_problem = []
+    glen_1 = nw * nbuckets
+    off = 0
+    for l, sz in enumerate(sizes):
+        t_l = nw * sz
+        ks_l = ks[off : off + t_l] - jnp.int32(l * glen_1)
+        ps_l = jax.tree_util.tree_map(lambda a: a[..., off : off + t_l], ps)
+        prev = jnp.concatenate([ks_l[:1] - 1, ks_l[:-1]])
+        per_problem.append(
+            _bucket_accumulate(
+                f, ps_l, ks_l, ks_l != prev, glen_1,
+                _zeros_sized(t_l), _zeros_sized(glen_1), t_l,
+            )
+        )
+        off += t_l
     buckets = jax.tree_util.tree_map(
-        lambda b, a: b.at[..., idx].set(a, mode="drop"), inf_g, acc
+        lambda *ls: jnp.concatenate(list(ls), axis=-1), *per_problem
     )
 
     pos = jnp.arange(glen) & (nbuckets - 1)
@@ -343,7 +408,7 @@ def fixed_base_msm(table: PointBatch, scalars, fname: str = "fp", c: int = 8) ->
         w, d = wd
         idx = w * nbuckets + d  # (N,)
         g = _tree_take(table, idx)
-        return cv.add(f, acc, g), None
+        return cv.add_mixed(f, acc, g), None  # table is affine-encoded
 
     ws = jnp.arange(nw, dtype=jnp.int32)
     init = jax.tree_util.tree_map(
@@ -358,6 +423,7 @@ def fixed_base_table_host(base_pt, ops, c: int = 8, nbits: int = 256):
 
     base_pt: host affine point; ops: host CurveOps (G1 or G2).
     Returns list of length (nbits // c) * 2^c (None = infinity).
+    Kept as the oracle for fixed_base_table_device (naive-vs-fast pattern).
     """
     nw = nbits // c
     out = []
@@ -371,3 +437,49 @@ def fixed_base_table_host(base_pt, ops, c: int = 8, nbits: int = 256):
         for _ in range(c):
             window_base = ops.double(window_base)
     return out
+
+
+def fixed_base_table_device(base_pt, ops, encode, fname: str, c: int = 8, nbits: int = 256) -> PointBatch:
+    """Build the fixed-base window table on DEVICE with c batched adds.
+
+    table[w * 2^c + d] = d * 2^(c*w) * G. The host contributes only the
+    nbits doublings 2^j * G (fast Python bigints); the (nbits/c) * 2^c
+    entries then assemble on device as a bit ladder: for each bit j of the
+    in-window digit d, one masked batched add of the precomputed 2^(c*w+j)*G
+    across all (window, digit) lanes at once. Replaces a 2^c-per-window host
+    point loop (the reference's FixedBaseMSM window table is built host-side
+    too, src/commitment/setup.rs:61-69 — the former dominant keygen cost).
+
+    base_pt: host affine point; ops: host CurveOps; encode: cv.g1_encode or
+    cv.g2_encode; fname: "fp" | "fp2". Returns a Jacobian PointBatch of
+    length (nbits // c) * 2^c.
+    """
+    f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
+    nw = nbits // c
+    doubles = []
+    p = base_pt
+    for _ in range(nbits):
+        doubles.append(p)
+        p = ops.double(p)
+    dbl = encode(doubles)  # (..., nbits): 2^j * G, Jacobian Z=1
+
+    n = nw << c
+    digit = jnp.arange(n, dtype=jnp.uint32) & jnp.uint32((1 << c) - 1)
+    window = jnp.arange(n, dtype=jnp.int32) >> c
+
+    acc = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape[:-1] + (n,), a.dtype), dbl
+    )  # all-infinity (Z=0)
+
+    @partial(jax.jit, static_argnums=())
+    def build(dbl, acc):
+        def bit_step(j, acc):
+            idx = window * c + j  # (n,): which power 2^(c*w + j)
+            g = _tree_take(dbl, idx)
+            cand = cv.add(f, acc, g)
+            take = ((digit >> j.astype(jnp.uint32)) & jnp.uint32(1)) > 0
+            return cv.select_point(f, take, cand, acc)
+
+        return jax.lax.fori_loop(0, c, bit_step, acc)
+
+    return build(dbl, acc)

@@ -163,6 +163,41 @@ def _add_rows_pts(f, x1, y1, z1, x2, y2, z2):
     return ox, oy, oz
 
 
+def _madd_rows_pts(f, x1, y1, z1, x2, y2, z2):
+    """Jacobian + affine-encoded (Z2 in {0,1}): madd-2007-bl shape, 8M+3S."""
+    z1z1 = f.sq(z1)
+    u2 = f.mul(x2, z1z1)
+    s2 = f.mul(f.mul(y2, z1), z1z1)
+    h = f.sub(u2, x1)
+    r = f.sub(s2, y1)
+    h2 = f.sq(h)
+    h3 = f.mul(h, h2)
+    u1h2 = f.mul(x1, h2)
+    r2 = f.sq(r)
+    x3 = f.sub(f.sub(r2, h3), f.dbl(u1h2))
+    y3 = f.sub(f.mul(r, f.sub(u1h2, x3)), f.mul(y1, h3))
+    z3 = f.mul(z1, h)
+
+    p_inf = f.is_zero(z1)
+    q_inf = f.is_zero(z2)
+    h_zero = f.is_zero(h)
+    r_zero = f.is_zero(r)
+    same = h_zero & r_zero & ~p_inf & ~q_inf
+
+    dx, dy, dz = _double_rows(f, x1, y1, z1)
+    ox = f.select(same, dx, x3)
+    oy = f.select(same, dy, y3)
+    oz = f.select(same, dz, z3)
+    ox = f.select(p_inf, x2, ox)
+    oy = f.select(p_inf, y2, oy)
+    oz = f.select(p_inf, z2, oz)
+    q_only = q_inf & ~p_inf
+    ox = f.select(q_only, x1, ox)
+    oy = f.select(q_only, y1, oy)
+    oz = f.select(q_only, z1, oz)
+    return ox, oy, oz
+
+
 def _rows(ref, k):
     del k
     return ref[...]
@@ -182,6 +217,33 @@ def _g1_add_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
     _store(ox, rx)
     _store(oy, ry)
     _store(oz, rz)
+
+
+def _g1_madd_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
+    f = _Fp()
+    k = f.k
+    rx, ry, rz = _madd_rows_pts(
+        f, _rows(ax, k), _rows(ay, k), _rows(az, k),
+        _rows(bx, k), _rows(by, k), _rows(bz, k),
+    )
+    _store(ox, rx)
+    _store(oy, ry)
+    _store(oz, rz)
+
+
+def _g2_madd_kernel(ax0, ax1, ay0, ay1, az0, az1,
+                    bx0, bx1, by0, by1, bz0, bz1,
+                    ox0, ox1, oy0, oy1, oz0, oz1):
+    f = _Fp2()
+    k = f.k
+    A = lambda c0, c1: (_rows(c0, k), _rows(c1, k))
+    rx, ry, rz = _madd_rows_pts(
+        f, A(ax0, ax1), A(ay0, ay1), A(az0, az1),
+        A(bx0, bx1), A(by0, by1), A(bz0, bz1),
+    )
+    _store(ox0, rx[0]); _store(ox1, rx[1])
+    _store(oy0, ry[0]); _store(oy1, ry[1])
+    _store(oz0, rz[0]); _store(oz1, rz[1])
 
 
 def _g1_double_kernel(ax, ay, az, ox, oy, oz):
@@ -222,12 +284,16 @@ def _g2_double_kernel(ax0, ax1, ay0, ay1, az0, az1,
 @functools.lru_cache(maxsize=None)
 def _build(kind: str, n: int, block: int):
     k = FP.nlimb
-    nin = {"g1_add": 6, "g1_double": 3, "g2_add": 12, "g2_double": 6}[kind]
-    nout = {"g1_add": 3, "g1_double": 3, "g2_add": 6, "g2_double": 6}[kind]
+    nin = {"g1_add": 6, "g1_madd": 6, "g1_double": 3,
+           "g2_add": 12, "g2_madd": 12, "g2_double": 6}[kind]
+    nout = {"g1_add": 3, "g1_madd": 3, "g1_double": 3,
+            "g2_add": 6, "g2_madd": 6, "g2_double": 6}[kind]
     kernel = {
         "g1_add": _g1_add_kernel,
+        "g1_madd": _g1_madd_kernel,
         "g1_double": _g1_double_kernel,
         "g2_add": _g2_add_kernel,
+        "g2_madd": _g2_madd_kernel,
         "g2_double": _g2_double_kernel,
     }[kind]
     spec = pl.BlockSpec((k, block), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -269,6 +335,13 @@ def g1_add(p, q):
     return PointBatch(ox, oy, oz)
 
 
+def g1_madd(p, q):
+    from spartan_tpu.ops.curve import PointBatch
+
+    ox, oy, oz = _run("g1_madd", [p.x, p.y, p.z, q.x, q.y, q.z])
+    return PointBatch(ox, oy, oz)
+
+
 def g1_double(p):
     from spartan_tpu.ops.curve import PointBatch
 
@@ -281,6 +354,17 @@ def g2_add(p, q):
 
     o = _run(
         "g2_add",
+        [p.x[0], p.x[1], p.y[0], p.y[1], p.z[0], p.z[1],
+         q.x[0], q.x[1], q.y[0], q.y[1], q.z[0], q.z[1]],
+    )
+    return PointBatch((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+
+
+def g2_madd(p, q):
+    from spartan_tpu.ops.curve import PointBatch
+
+    o = _run(
+        "g2_madd",
         [p.x[0], p.x[1], p.y[0], p.y[1], p.z[0], p.z[1],
          q.x[0], q.x[1], q.y[0], q.y[1], q.z[0], q.z[1]],
     )

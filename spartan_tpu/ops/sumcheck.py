@@ -127,29 +127,6 @@ def pad_cols(t, w: int):
     )
 
 
-def _repad(t):
-    """(16, W/2) -> (16, W) with a zero upper half (post-fold re-pad)."""
-    return jnp.concatenate([t, jnp.zeros_like(t)], axis=-1)
-
-
-@jax.jit
-def sc1_tail_round(az, bz, cz, s_table, r):
-    """SC1 round at fixed width: fold by r, inner quadratic, re-pad.
-
-    az/bz/cz: (16, TAIL_W) zero-padded; s_table: (16, TAIL_W//4) zero-padded
-    (the fold halves the tables before the evals halve them again).
-    One program ever, shared by every proof size and every tail round.
-    """
-    az = mle.fold(az, r)
-    bz = mle.fold(bz, r)
-    cz = mle.fold(cz, r)
-    q = sc1_evals3(az, bz, cz, s_table)
-    return q, _repad(az), _repad(bz), _repad(cz)
-
-
-@jax.jit
-def prod2_tail_round(w, z, r):
-    """Degree-2 round at fixed width: fold by r, evals, re-pad."""
-    w = mle.fold(w, r)
-    z = mle.fold(z, r)
-    return prod2_evals3(w, z), _repad(w), _repad(z)
+# The per-round tail programs live in protocol/fused.py as ONE lax.scan
+# program per phase (_sc1_tail_phase / _sc2_tail_phase) built on pad_cols,
+# sc1_evals3 and prod2_evals3 — see that module's program-shape rationale.

@@ -35,6 +35,7 @@ from spartan_tpu.ops import field as fo
 from spartan_tpu.ops import fs_device as fsd
 from spartan_tpu.ops import mle
 from spartan_tpu.ops import msm as msm_mod
+from spartan_tpu.ops import sumcheck as sck
 from spartan_tpu.ops.field import FR
 from spartan_tpu.commitment import PublicParameter
 from spartan_tpu.commitment.data_structures import Commitment, OpenProof
@@ -207,94 +208,201 @@ def _ell_at_r_b(tor_i, r):
     return fo.add(FR, out, _cb(1))
 
 
-@partial(jax.jit, static_argnums=())
-def sc1_phase_b(az, bz, cz, tor_mont, state):
-    """Sumcheck 1 + round 4 for a whole batch in one dispatch.
+def _emit_consts_b(deg: int):
+    """fused._emit_consts rows broadcast for the batch layout: (16, 1, D)."""
+    from spartan_tpu.protocol import fused
 
-    az/bz/cz: (16, B, n); tor_mont: (16, B, log_n); state: (B, 8).
-    Returns (evals (log_n, 16, B, deg+1) canonical, rs (16, B, log_n)
-    canonical, vabc (16, B, 3), rabc (16, B, 3), state' (B, 8)).
-    Batched twin of protocol/fused.sc1_phase (same bytes per instance)."""
-    log_n = tor_mont.shape[2]
-    deg = log_n + 2
-    inv2 = hf.fr_inv(2)
-    suffix = eq_suffix_tables_b(tor_mont)
+    return tuple(c[:, None, :] for c in fused._emit_consts(deg))
 
-    pre = fo.ones_mont(FR, (az.shape[1], 1))
-    r_mont = None
-    evals_out, rs_out = [], []
 
-    for i in range(log_n):
-        if i > 0:
-            az = fold_b(az, r_mont)
-            bz = fold_b(bz, r_mont)
-            cz = fold_b(cz, r_mont)
-            pre = fo.mont_mul(
-                FR, pre, _ell_at_r_b(tor_mont[:, :, i - 1 : i], r_mont[:, :, None])
-            )
-        q = sc1_evals3_b(az, bz, cz, suffix[i + 1])  # (16, B, 3)
-        q0, q1, q2 = q[..., 0:1], q[..., 1:2], q[..., 2:3]
-        tor_i = tor_mont[:, :, i : i + 1]
-        cols = []
-        for t in range(deg + 1):
-            if t == 0:
-                qt = q0
-            elif t == 1:
-                qt = q1
-            elif t == 2:
-                qt = q2
-            else:
-                qt = fo.mont_mul(FR, q0, _cb((t - 1) * (t - 2) % hf.R * inv2))
-                qt = fo.add(FR, qt, fo.mont_mul(FR, q1, _cb(-t * (t - 2))))
-                qt = fo.add(
-                    FR, qt, fo.mont_mul(FR, q2, _cb(t * (t - 1) % hf.R * inv2))
-                )
-            e = fo.mont_mul(FR, pre, fo.mont_mul(FR, _ell_at_b(tor_i, t), qt))
-            cols.append(e)
-        ev = fo.from_mont(FR, jnp.concatenate(cols, axis=2))  # (16, B, deg+1)
-        evals_out.append(ev)
-        state = _feed_fr_vec_b(state, ev)
-        r, r_mont, _ = _sample_mont_b(state, jnp.uint32(0))
-        rs_out.append(r)
+def _sc1_emit_core_b(q, tor_i, pre, state, c0, c1, c2, ea, eb):
+    """Batched twin of fused._sc1_emit_core: q (16,B,3) -> deg+1 wire evals,
+    absorb, sample. Returns (ev, r (16,B), r_mont (16,B), pre', state')."""
+    q0, q1, q2 = q[..., 0:1], q[..., 1:2], q[..., 2:3]
+    qt = fo.add(
+        FR,
+        fo.mont_mul(FR, q0, c0),
+        fo.add(FR, fo.mont_mul(FR, q1, c1), fo.mont_mul(FR, q2, c2)),
+    )  # (16, B, D)
+    ell = fo.add(FR, fo.mont_mul(FR, tor_i, ea), eb)
+    ev = fo.from_mont(FR, fo.mont_mul(FR, pre, fo.mont_mul(FR, ell, qt)))
+    state = _feed_fr_vec_b(state, ev)
+    r, r_mont, _ = _sample_mont_b(state, jnp.uint32(0))
+    pre2 = fo.mont_mul(FR, pre, _ell_at_r_b(tor_i, r_mont[:, :, None]))
+    return ev, r, r_mont, pre2, state
 
+
+_sc1_emit_b = jax.jit(_sc1_emit_core_b)
+
+
+@jax.jit
+def _sc1_step_b(az, bz, cz, s, r_mont):
     az = fold_b(az, r_mont)
     bz = fold_b(bz, r_mont)
     cz = fold_b(cz, r_mont)
+    return sc1_evals3_b(az, bz, cz, s), az, bz, cz
+
+
+@jax.jit
+def _sc1_first_b(az, bz, cz, s):
+    return sc1_evals3_b(az, bz, cz, s)
+
+
+def _pad_b(t, w: int):
+    if t.shape[-1] == w:
+        return t
+    return jnp.concatenate(
+        [t, jnp.zeros(t.shape[:-1] + (w - t.shape[-1],), t.dtype)], axis=-1
+    )
+
+
+@jax.jit
+def _sc1_tail_phase_b(az, bz, cz, suffix_tail, tor_tail, pre, r_mont, state,
+                      c0, c1, c2, ea, eb):
+    """All tail rounds + round 4 for the whole batch, ONE scan program
+    (same program-shape rationale as protocol/fused.py)."""
+    w = sck.TAIL_W
+    az, bz, cz = _pad_b(az, w), _pad_b(bz, w), _pad_b(cz, w)
+    s_stack = jnp.stack([_pad_b(s, w // 4) for s in suffix_tail])
+    tor_xs = jnp.moveaxis(tor_tail, 2, 0)[:, :, :, None]  # (T, 16, B, 1)
+
+    def body(carry, xs):
+        az, bz, cz, pre, r_mont, state = carry
+        s, tor_i = xs
+        az = fold_b(az, r_mont)
+        bz = fold_b(bz, r_mont)
+        cz = fold_b(cz, r_mont)
+        q = sc1_evals3_b(az, bz, cz, s)
+        ev, r, r_mont, pre, state = _sc1_emit_core_b(
+            q, tor_i, pre, state, c0, c1, c2, ea, eb
+        )
+        repad = lambda t: jnp.concatenate([t, jnp.zeros_like(t)], axis=-1)
+        return (repad(az), repad(bz), repad(cz), pre, r_mont, state), (ev, r)
+
+    (az, bz, cz, _pre, r_mont, state), (evs, rs) = jax.lax.scan(
+        body, (az, bz, cz, pre, r_mont, state), (s_stack, tor_xs)
+    )
+
+    az = fold_b(az[..., :2], r_mont)
+    bz = fold_b(bz[..., :2], r_mont)
+    cz = fold_b(cz[..., :2], r_mont)
     vabc = fo.from_mont(FR, jnp.concatenate([az, bz, cz], axis=2))  # (16, B, 3)
     words = fsd.limbs_to_words(vabc).reshape(vabc.shape[1], 24)
     state = fsd.fs_feed(state, words)
     ra, _, ctr = _sample_mont_b(state, jnp.uint32(0))
     rb, _, ctr = _sample_mont_b(state, ctr)
     rc, _, _ = _sample_mont_b(state, ctr)
+    return evs, rs, vabc, jnp.stack([ra, rb, rc], axis=2), state
 
-    return (
-        jnp.stack(evals_out, axis=0),
-        jnp.stack(rs_out, axis=2),
-        vabc,
-        jnp.stack([ra, rb, rc], axis=2),
-        state,
+
+def sc1_phase_b(az, bz, cz, tor_mont, state):
+    """Sumcheck 1 + round 4 for a whole batch, device-resident transcript.
+
+    az/bz/cz: (16, B, n); tor_mont: (16, B, log_n); state: (B, 8).
+    Returns (evals (log_n, 16, B, deg+1) canonical, rs (16, B, log_n)
+    canonical, vabc (16, B, 3), rabc (16, B, 3), state' (B, 8)).
+    Batched twin of protocol/fused.sc1_phase (same bytes per instance)."""
+    from spartan_tpu.protocol import fused
+
+    log_n = tor_mont.shape[2]
+    deg = log_n + 2
+    consts = _emit_consts_b(deg)
+    suffix = eq_suffix_tables_b(tor_mont)
+    i0 = fused._tail_start(log_n)
+
+    if log_n < 2:
+        raise ValueError("batched proving requires log_n >= 2")
+    pre = fo.ones_mont(FR, (az.shape[1], 1))
+    r_mont = jnp.zeros((16, az.shape[1]), U32)  # dummy for the no-fold round
+    evals_out, rs_out = [], []
+    for i in range(i0):
+        if i == 0:
+            q = _sc1_first_b(az, bz, cz, suffix[1])
+        else:
+            q, az, bz, cz = _sc1_step_b(az, bz, cz, suffix[i + 1], r_mont)
+        ev, r, r_mont, pre, state = _sc1_emit_b(
+            q, tor_mont[:, :, i : i + 1], pre, state, *consts
+        )
+        evals_out.append(ev)
+        rs_out.append(r)
+
+    evs, rs, vabc, rabc, state = _sc1_tail_phase_b(
+        az, bz, cz, tuple(suffix[i0 + 1 :]), tor_mont[:, :, i0:], pre, r_mont,
+        state, *consts,
     )
+    evals = jnp.concatenate([jnp.stack(evals_out, axis=0), evs], axis=0)
+    rs_all = jnp.concatenate(
+        [jnp.stack(rs_out, axis=2), jnp.moveaxis(rs, 0, 2)], axis=2
+    )
+    return evals, rs_all, vabc, rabc, state
 
 
-@partial(jax.jit, static_argnums=())
+@jax.jit
+def _sc2_step_b(w, z, r_mont):
+    w = fold_b(w, r_mont)
+    z = fold_b(z, r_mont)
+    return prod2_evals3_b(w, z), w, z
+
+
+def _sc2_emit_core_b(q, state):
+    ev = fo.from_mont(FR, q)
+    state = _feed_fr_vec_b(state, ev)
+    r, r_mont, _ = _sample_mont_b(state, jnp.uint32(0))
+    return ev, r, r_mont, state
+
+
+_sc2_emit_b = jax.jit(_sc2_emit_core_b)
+
+
+@jax.jit
+def _sc2_tail_phase_b(w_tab, z_tab, r_mont, state):
+    w = sck.TAIL_W
+    t_rounds = int(w_tab.shape[2]).bit_length() - 2
+    w_tab, z_tab = _pad_b(w_tab, w), _pad_b(z_tab, w)
+
+    def body(carry, _):
+        w_tab, z_tab, r_mont, state = carry
+        w_tab = fold_b(w_tab, r_mont)
+        z_tab = fold_b(z_tab, r_mont)
+        q = prod2_evals3_b(w_tab, z_tab)
+        ev, r, r_mont, state = _sc2_emit_core_b(q, state)
+        repad = lambda t: jnp.concatenate([t, jnp.zeros_like(t)], axis=-1)
+        return (repad(w_tab), repad(z_tab), r_mont, state), (ev, r)
+
+    (w_tab, z_tab, r_mont, state), (evs, rs) = jax.lax.scan(
+        body, (w_tab, z_tab, r_mont, state), None, length=t_rounds
+    )
+    return evs, rs, state
+
+
 def sc2_phase_b(w, z, state):
-    """Sumcheck 2 for a whole batch in one dispatch (deg-2 rounds over w·z).
+    """Sumcheck 2 for a whole batch (deg-2 rounds over w·z).
 
     w/z: (16, B, n); state: (B, 8). Returns (evals (log_n, 16, B, 3)
     canonical, rs (16, B, log_n) canonical, state' (B, 8))."""
-    log_n = int(w.shape[2]).bit_length() - 1
-    r_mont = None
+    from spartan_tpu.protocol import fused
+
+    n = int(w.shape[2])
+    log_n = n.bit_length() - 1
+    i0 = fused._tail_start(log_n)
+    if log_n < 2:
+        raise ValueError("batched proving requires log_n >= 2")
+    r_mont = jnp.zeros((16, w.shape[1]), U32)
     evals_out, rs_out = [], []
-    for i in range(log_n):
-        if i > 0:
-            w = fold_b(w, r_mont)
-            z = fold_b(z, r_mont)
-        ev = fo.from_mont(FR, prod2_evals3_b(w, z))  # (16, B, 3)
+    for i in range(i0):
+        if i == 0:
+            q = jax.jit(prod2_evals3_b)(w, z)
+        else:
+            q, w, z = _sc2_step_b(w, z, r_mont)
+        ev, r, r_mont, state = _sc2_emit_b(q, state)
         evals_out.append(ev)
-        state = _feed_fr_vec_b(state, ev)
-        r, r_mont, _ = _sample_mont_b(state, jnp.uint32(0))
         rs_out.append(r)
-    return jnp.stack(evals_out, axis=0), jnp.stack(rs_out, axis=2), state
+    evs, rs, state = _sc2_tail_phase_b(w, z, r_mont, state)
+    evals = jnp.concatenate([jnp.stack(evals_out, axis=0), evs], axis=0)
+    rs_all = jnp.concatenate(
+        [jnp.stack(rs_out, axis=2), jnp.moveaxis(rs, 0, 2)], axis=2
+    )
+    return evals, rs_all, state
 
 
 # ---------------------------------------------------------------------------

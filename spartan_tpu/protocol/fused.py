@@ -1,4 +1,4 @@
-"""Device-resident sumcheck phases built from small per-round programs.
+"""Device-resident sumcheck phases built from few small programs.
 
 The reference's NI driver alternates prover rounds with Fiat–Shamir sampling
 on the host (src/lib.rs:91-103, 119-131) — that structure forces a host
@@ -8,27 +8,27 @@ ops/blake2s.py): challenges stay in device arrays between rounds, so the
 whole phase — fold, evaluate, serialize, absorb, sample, repeat — executes
 without a single host sync; only the final messages and challenges return.
 
-Compile-cost design (the round-2 lesson): a single fused program unrolling
-all log_n rounds produced multi-MB HLO and 20-minute cold compiles. Instead
-each phase is a host Python loop over TWO small jitted programs per round:
+Program-shape design (rounds 2-3 lessons — BOTH costs matter):
+- compile cost: a single program unrolling all log_n rounds was multi-MB HLO
+  and took tens of minutes to build cold;
+- dispatch cost: one program per round costs ~2 log_n dispatches, and on a
+  remote TPU tunnel each dispatch carries ~10-30 ms latency, which dominated
+  the warm prove wall time.
 
-  - a *step* program (ops/sumcheck.sc1_round / prod2_round): fold by the
-    previous challenge + inner evaluations. Keyed by table width only, so a
-    prove at 2^k reuses every step program already compiled for smaller
-    sizes; a NEW size compiles exactly one new step per phase.
-  - an *emit* program (_sc1_emit / _sc2_emit): extend the exact cubic to the
-    wire's log_n+3 evaluation points, absorb into the device transcript,
-    sample the next challenge. Operates on (16, deg+1) scalars — keyed by
-    deg only, compiles in seconds.
+The split that minimizes both:
+- the few LARGE rounds (tables wider than TAIL_W) run as per-width *step*
+  programs (ops/sumcheck.sc1_round / prod2_round — shared across proof
+  sizes; a new size compiles exactly one new step per phase) plus a tiny
+  per-degree *emit* program;
+- every remaining round runs in ONE fixed-width lax.scan program
+  (_sc1_tail_phase / _sc2_tail_phase): tables zero-padded to TAIL_W, the
+  body (fold + inner evals + wire extension + Blake2s absorb + sample)
+  traced once, sumcheck-1's scan also absorbing prover round 4 (va/vb/vc +
+  r_a/r_b/r_c — reference src/ahp/prover.rs:210-228). Zero is a fixed point
+  of fold/add/mul and pad lanes carry zero weight, so emitted bytes are
+  bit-identical to the per-round path.
 
-JAX's async dispatch pipelines the per-round dispatches; the FS chain is
-inherently sequential anyway. Emitted bytes are exactly what the host path
-produces (the host verifier replays them with utils/transcript.Blake2sRng),
-so this is purely an execution-strategy change: same wire format, same proof.
-
-sc1_phase additionally folds in prover round 4 (va/vb/vc + the r_a/r_b/r_c
-sampling — reference src/ahp/prover.rs:210-228) since it continues the same
-transcript stretch.
+A 2^14 proof thus runs sumcheck 1 in ~6 dispatches instead of ~28.
 """
 
 from __future__ import annotations
@@ -108,8 +108,7 @@ def _emit_consts(deg: int):
     return out
 
 
-@jax.jit
-def _sc1_emit(q, tor_i, pre, state, c0, c1, c2, ea, eb):
+def _sc1_emit_core(q, tor_i, pre, state, c0, c1, c2, ea, eb):
     """Extend q(0),q(1),q(2) to the deg+1 wire evals, absorb, sample.
 
     q: (16, 3) Montgomery inner-quadratic values. tor_i/pre: (16, 1)
@@ -132,12 +131,13 @@ def _sc1_emit(q, tor_i, pre, state, c0, c1, c2, ea, eb):
     return ev, r, r_mont, pre2, state
 
 
-@jax.jit
-def _sc1_final(az, bz, cz, r_mont, state):
+_sc1_emit = jax.jit(_sc1_emit_core)
+
+
+def _sc1_final_core(az, bz, cz, r_mont, state):
     """Round 4 on device: final fold -> va,vb,vc; absorb; sample r_a,r_b,r_c.
 
-    az/bz/cz: (16, 2) Montgomery (post last sumcheck round). Fixed shapes —
-    this program compiles once ever, shared by every proof size.
+    az/bz/cz: (16, 2) Montgomery (post last sumcheck round).
     """
     az = mle.fold(az, r_mont)
     bz = mle.fold(bz, r_mont)
@@ -151,17 +151,90 @@ def _sc1_final(az, bz, cz, r_mont, state):
     return vabc, jnp.concatenate([ra, rb, rc], axis=1), state
 
 
-@jax.jit
-def _sc2_emit(q, state):
-    """Absorb a degree-2 round's 3 evals, sample the challenge. One program."""
+def _sc2_emit_core(q, state):
+    """Absorb a degree-2 round's 3 evals, sample the challenge."""
     ev = fo.from_mont(FR, q)  # (16, 3)
     state = _feed_fr_vec(state, ev)
     r, r_mont, _ = _sample_mont(state, jnp.uint32(0))
     return ev, r, r_mont, state
 
 
+_sc2_emit = jax.jit(_sc2_emit_core)
+
+
+@jax.jit
+def _sc1_tail_phase(az, bz, cz, suffix_tail: Tuple, tor_tail, pre, r_mont,
+                    state, c0, c1, c2, ea, eb):
+    """All tail rounds of sumcheck 1 + round 4, in ONE scan program.
+
+    az/bz/cz: (16, <=TAIL_W) tables entering the first tail round (pre-fold).
+    suffix_tail: tuple of the remaining eq suffix tables. tor_tail: (16, T).
+    pre/r_mont: carried from the last large round. Returns (evals
+    (T, 16, deg+1), rs (T, 16, 1), vabc (16,3), rabc (16,3), state').
+    """
+    w = sck.TAIL_W
+    az = sck.pad_cols(az, w)
+    bz = sck.pad_cols(bz, w)
+    cz = sck.pad_cols(cz, w)
+    s_stack = jnp.stack([sck.pad_cols(s, w // 4) for s in suffix_tail])
+    tor_xs = jnp.moveaxis(tor_tail, 1, 0)[:, :, None]  # (T, 16, 1)
+
+    def body(carry, xs):
+        az, bz, cz, pre, r_mont, state = carry
+        s, tor_i = xs
+        az = mle.fold(az, r_mont)
+        bz = mle.fold(bz, r_mont)
+        cz = mle.fold(cz, r_mont)
+        q = sck.sc1_evals3(az, bz, cz, s)
+        ev, r, r_mont, pre, state = _sc1_emit_core(
+            q, tor_i, pre, state, c0, c1, c2, ea, eb
+        )
+        repad = lambda t: jnp.concatenate([t, jnp.zeros_like(t)], axis=-1)
+        return (repad(az), repad(bz), repad(cz), pre, r_mont, state), (ev, r)
+
+    (az, bz, cz, _pre, r_mont, state), (evs, rs) = jax.lax.scan(
+        body, (az, bz, cz, pre, r_mont, state), (s_stack, tor_xs)
+    )
+    vabc, rabc, state = _sc1_final_core(
+        az[:, :2], bz[:, :2], cz[:, :2], r_mont, state
+    )
+    return evs, rs, vabc, rabc, state
+
+
+@jax.jit
+def _sc2_tail_phase(w_tab, z_tab, r_mont, state):
+    """All tail rounds of sumcheck 2 in ONE scan program."""
+    w = sck.TAIL_W
+    n = w_tab.shape[1]
+    # entering width 2^k -> k-1 rounds remain (the last round folds to
+    # logical width 2 and evaluates over one pair)
+    t_rounds = n.bit_length() - 2
+    w_tab = sck.pad_cols(w_tab, w)
+    z_tab = sck.pad_cols(z_tab, w)
+
+    def body(carry, _):
+        w_tab, z_tab, r_mont, state = carry
+        w_tab = mle.fold(w_tab, r_mont)
+        z_tab = mle.fold(z_tab, r_mont)
+        q = sck.prod2_evals3(w_tab, z_tab)
+        ev, r, r_mont, state = _sc2_emit_core(q, state)
+        repad = lambda t: jnp.concatenate([t, jnp.zeros_like(t)], axis=-1)
+        return (repad(w_tab), repad(z_tab), r_mont, state), (ev, r)
+
+    (w_tab, z_tab, r_mont, state), (evs, rs) = jax.lax.scan(
+        body, (w_tab, z_tab, r_mont, state), None, length=t_rounds
+    )
+    return evs, rs, state
+
+
+def _tail_start(log_n: int) -> int:
+    """First round index whose ENTERING table width fits TAIL_W (round 0
+    always runs as a per-width program — it takes no fold)."""
+    return max(1, log_n - (sck.TAIL_W.bit_length() - 1) + 1)
+
+
 def sc1_phase(az, bz, cz, suffix: Tuple, tor_mont, state):
-    """Sumcheck 1 + round 4, device-resident transcript, per-round programs.
+    """Sumcheck 1 + round 4, device-resident transcript.
 
     az/bz/cz: (16, n) Montgomery tables. suffix: tuple of eq suffix tables of
     tor (mle.eq_suffix_tables). tor_mont: (16, log_n). state: (8,) transcript
@@ -172,65 +245,65 @@ def sc1_phase(az, bz, cz, suffix: Tuple, tor_mont, state):
     vabc (16, 3) canonical, rabc (16, 3) canonical, state' (8,)).
     """
     log_n = tor_mont.shape[1]
-    n = az.shape[1]
     deg = log_n + 2
     consts = _emit_consts(deg)
+    i0 = _tail_start(log_n)
 
     pre = fo.ones_mont(FR, (1,))
     r_mont = fo.encode_mont(FR, [0])  # dummy for the no-fold first round
     evals_out, rs_out = [], []
-    for i in range(log_n):
-        m_in = n >> max(0, i - 1)  # logical width entering (pre-fold)
-        if i == 0:
-            q, az, bz, cz = sck.sc1_round(az, bz, cz, suffix[1], False, r_mont)
-        elif m_in > sck.TAIL_W:
-            q, az, bz, cz = sck.sc1_round(az, bz, cz, suffix[i + 1], True, r_mont)
-        else:
-            az = sck.pad_cols(az, sck.TAIL_W)
-            bz = sck.pad_cols(bz, sck.TAIL_W)
-            cz = sck.pad_cols(cz, sck.TAIL_W)
-            s = sck.pad_cols(suffix[i + 1], sck.TAIL_W // 4)
-            q, az, bz, cz = sck.sc1_tail_round(az, bz, cz, s, r_mont)
+    for i in range(i0):
+        q, az, bz, cz = sck.sc1_round(
+            az, bz, cz, suffix[i + 1], i > 0, r_mont
+        )
         ev, r, r_mont, pre, state = _sc1_emit(
             q, tor_mont[:, i : i + 1], pre, state, *consts
         )
         evals_out.append(ev)
         rs_out.append(r)
 
-    # tables may be tail-padded; the logical entries live in the front lanes
-    vabc, rabc, state = _sc1_final(
-        az[:, :2], bz[:, :2], cz[:, :2], r_mont, state
+    if i0 == log_n:  # no tail rounds (log_n == 1): straight to round 4
+        vabc, rabc, state = jax.jit(_sc1_final_core)(
+            az[:, :2], bz[:, :2], cz[:, :2], r_mont, state
+        )
+        return (
+            jnp.stack(evals_out, axis=0),
+            jnp.concatenate(rs_out, axis=1),
+            vabc, rabc, state,
+        )
+
+    evs, rs, vabc, rabc, state = _sc1_tail_phase(
+        az, bz, cz, tuple(suffix[i0 + 1 :]), tor_mont[:, i0:], pre, r_mont,
+        state, *consts,
     )
-    return (
-        jnp.stack(evals_out, axis=0),
-        jnp.concatenate(rs_out, axis=1),
-        vabc,
-        rabc,
-        state,
-    )
+    evals = jnp.concatenate([jnp.stack(evals_out, axis=0), evs], axis=0)
+    rs_all = jnp.concatenate(rs_out + [jnp.moveaxis(rs, 0, 2).reshape(16, -1)], axis=1)
+    return evals, rs_all, vabc, rabc, state
 
 
 def sc2_phase(w, z, state):
-    """Sumcheck 2, device-resident transcript: degree-2 rounds over w * z.
+    """Sumcheck 2, device-resident transcript.
 
     Returns (evals (log_n, 16, 3) canonical, rs (16, log_n) canonical
     (r_1..r_{log_n-1}, last_random_point), state' (8,)).
     """
     n = int(w.shape[1])
     log_n = n.bit_length() - 1
+    i0 = _tail_start(log_n)
     r_mont = fo.encode_mont(FR, [0])
     evals_out, rs_out = [], []
-    for i in range(log_n):
-        m_in = n >> max(0, i - 1)
-        if i == 0:
-            q, w, z = sck.prod2_round(w, z, False, r_mont)
-        elif m_in > sck.TAIL_W:
-            q, w, z = sck.prod2_round(w, z, True, r_mont)
-        else:
-            w = sck.pad_cols(w, sck.TAIL_W)
-            z = sck.pad_cols(z, sck.TAIL_W)
-            q, w, z = sck.prod2_tail_round(w, z, r_mont)
+    for i in range(i0):
+        q, w, z = sck.prod2_round(w, z, i > 0, r_mont)
         ev, r, r_mont, state = _sc2_emit(q, state)
         evals_out.append(ev)
         rs_out.append(r)
-    return jnp.stack(evals_out, axis=0), jnp.concatenate(rs_out, axis=1), state
+    if i0 == log_n:  # no tail rounds (log_n == 1)
+        return (
+            jnp.stack(evals_out, axis=0),
+            jnp.concatenate(rs_out, axis=1),
+            state,
+        )
+    evs, rs, state = _sc2_tail_phase(w, z, r_mont, state)
+    evals = jnp.concatenate([jnp.stack(evals_out, axis=0), evs], axis=0)
+    rs_all = jnp.concatenate(rs_out + [jnp.moveaxis(rs, 0, 2).reshape(16, -1)], axis=1)
+    return evals, rs_all, state

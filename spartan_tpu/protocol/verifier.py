@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 
 from spartan_tpu.host import field as hf
@@ -301,6 +302,26 @@ def sample_verify_second_sumcheck_final_round(rng) -> VerifierFifthMessage:
     return VerifierFifthMessage(last_random_point=sc.sample_round(rng).randomness)
 
 
+@jax.jit
+def _matrix_evals_fused(coo_a, coo_b, coo_c, rx_mont, ry_mont):
+    """A(r_x,r_y), B(..), C(..) in ONE program (verifier.rs:493-495).
+
+    The eq-table build, the three sparse partial evaluations and the three
+    full fold ladders ran as ~70 small per-width dispatches before; on a
+    remote TPU that cost seconds of pure dispatch latency per verify.
+    Returns (16, 3) Montgomery.
+    """
+    from spartan_tpu.ops import sparse as _sp
+
+    n = 1 << rx_mont.shape[1]
+    eqx = mle.eq_table(rx_mont)
+    outs = []
+    for coo in (coo_a, coo_b, coo_c):
+        t = _sp.eval_on_x_table(coo, eqx, n)
+        outs.append(mle.eval_at(t, ry_mont))
+    return jnp.concatenate(outs, axis=1)
+
+
 def verify_sixth_round(
     state: VerifierSixthState, p_msg: ProverSixthMessage, vp: VerifierParameter
 ) -> bool:
@@ -338,14 +359,11 @@ def verify_sixth_round(
     )
     r_y = second_sub.point
     with span("Verify: matrix evals at (r_x, r_y)"):
-        r_y_dev = fo.encode_mont(FR, r_y)
-        # dispatch all three chains, then decode (device pipelines them)
-        a_dev = mle.eval_at(vk.matrix_a.eval_on_x(r_x), r_y_dev)
-        b_dev = mle.eval_at(vk.matrix_b.eval_on_x(r_x), r_y_dev)
-        c_dev = mle.eval_at(vk.matrix_c.eval_on_x(r_x), r_y_dev)
-        a_rx_ry = fo.decode_mont(FR, a_dev)[0]
-        b_rx_ry = fo.decode_mont(FR, b_dev)[0]
-        c_rx_ry = fo.decode_mont(FR, c_dev)[0]
+        abc = _matrix_evals_fused(
+            vk.matrix_a.coo, vk.matrix_b.coo, vk.matrix_c.coo,
+            fo.encode_mont(FR, r_x), fo.encode_mont(FR, r_y),
+        )
+        a_rx_ry, b_rx_ry, c_rx_ry = fo.decode_mont(FR, abc)
     actual = (
         state.r_a * a_rx_ry % hf.R * z_ry
         + state.r_b * b_rx_ry % hf.R * z_ry

@@ -100,3 +100,15 @@ def test_fixed_base_msm():
     got = cv.g1_decode(msm_mod.fixed_base_msm(table, slimbs, "fp", 8))
     expect = [hc.G1.mul(hf.G1_GEN, s) for s in scalars]
     assert got == expect
+
+
+def test_fixed_base_table_device_matches_host():
+    """Device bit-ladder window table vs the host point loop (naive-vs-fast,
+    the reference's own test pattern for its FixedBaseMSM window table —
+    src/commitment/setup.rs:61-69)."""
+    want = msm_mod.fixed_base_table_host(hf.G1_GEN, hc.G1, c=4, nbits=16)
+    got_batch = msm_mod.fixed_base_table_device(
+        hf.G1_GEN, hc.G1, cv.g1_encode, "fp", c=4, nbits=16
+    )
+    got = cv.g1_decode(got_batch)
+    assert got == want

@@ -119,3 +119,49 @@ def test_eval_on_x_boolean_point_reproduces_row():
     expected_row = {y: c for c, y in mat[x_point]}
     for y in range(n):
         assert got[y] == expected_row.get(y, 0)
+
+
+def test_column_density_guard_rejects_dense_column():
+    """A column with >= 2^16 nnz must be rejected (models/r1cs.validate_matrix
+    — the segment-sum kernel's uint32 accumulator bound; reference walks
+    columns safely, r1cs_reader.rs:91-117)."""
+    import pytest
+
+    from spartan_tpu.models.r1cs import validate_matrix
+    from spartan_tpu.utils.errors import SpartanError
+
+    n = 1 << 16
+    dense_col = [[(1, 0)] for _ in range(n)]  # every row hits column 0
+    with pytest.raises(SpartanError):
+        validate_matrix(dense_col, n)
+
+
+def test_column_density_guard_accepts_under_threshold():
+    """Just under the 2^16-nnz column bound must validate, and a circuit with
+    a maximally dense column must still prove+verify end-to-end."""
+    from spartan_tpu.models.r1cs import validate_matrix
+    from spartan_tpu.ops import sparse as sp
+
+    n = 1 << 16
+    under = [[(1, 0)] for _ in range(n - 1)] + [[]]
+    validate_matrix(under, n)  # must not raise
+
+    # dense-column correctness at a computable size: every row of A hits
+    # column 0; sum_over_y(A, z) must equal the dense mat-vec oracle.
+    log_n = 5
+    m = 1 << log_n
+    rng = random.Random(9)
+    a = [[(rng.randrange(1, hf.R), 0), (rng.randrange(1, hf.R), i)] for i in range(m)]
+    validate_matrix(a, m)
+    z_ints = [rng.randrange(hf.R) for _ in range(m)]
+    rows, cols, vals = matrix_to_coo(a)
+    coo = (
+        jnp.asarray(np.array(rows, np.int32)),
+        jnp.asarray(np.array(cols, np.int32)),
+        f.encode_mont(FR, vals),
+    )
+    z = f.encode_mont(FR, z_ints)
+    got = f.decode_mont(FR, sp.sum_over_y(coo, z, m))
+    for x in range(m):
+        want = sum(c * z_ints[y] for c, y in a[x]) % hf.R
+        assert got[x] == want

@@ -84,6 +84,15 @@ def test_pallas_g1_add_double_match_jnp():
 
 
 def test_pallas_g2_add_double_match_jnp():
+    """G2 kernel vs jnp path. Interpret-mode G2 (Fp2 Karatsuba over the same
+    row primitives the G1 test already covers) costs ~10 min on this 2-core
+    box, so it is gated for TPU rounds: run with SPARTAN_PALLAS_CI=1."""
+    import os
+
+    if os.environ.get("SPARTAN_PALLAS_CI", "0") != "1":
+        import pytest
+
+        pytest.skip("G2 interpret kernel gated behind SPARTAN_PALLAS_CI=1")
     f = cv.G2_FIELD
     g = hf.G2_GEN
     p = hc.G2.mul(g, 7)

@@ -126,3 +126,15 @@ def test_sharded_prove_bit_identical(tiny_instance, ndev):
     proof = MLArgumentForR1CS.prove(pk, v, w, pp, mesh=mesh)
     assert proof.serialize() == want_bytes
     assert MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
+
+
+def test_proof_bytes_match_golden_fixture(tiny_instance):
+    """Byte-stability against the checked-in golden proof
+    (tests/fixtures/proof_2e5_seed3.bin — produced by this implementation;
+    docs/BYTE_COMPAT.md lists the assumed arkworks conventions it pins).
+    Any wire-format or transcript change breaks this loudly."""
+    import pathlib
+
+    want = pathlib.Path(__file__).parent / "fixtures" / "proof_2e5_seed3.bin"
+    _pk, _v, _w, _pp, _vp, got_bytes = tiny_instance
+    assert got_bytes == want.read_bytes()
