@@ -104,10 +104,19 @@ def child_main():
     from spartan_tpu.commitment import persist
 
     reps = int(os.environ.get("SPARTAN_BENCH_REPS", "1"))
-    density = int(os.environ.get("SPARTAN_BENCH_DENSITY", "0"))
     sizes = [
         int(s)
         for s in os.environ.get("SPARTAN_BENCH_SIZES", "6,12,14,16").split(",")
+    ]
+    # density sweep (reference src/benchmark.rs:69-78 sweeps 0..229 at fixed
+    # size): SPARTAN_BENCH_DENSITIES=0,64,128,229 crosses every size with
+    # every density in ONE process so compiled programs are shared
+    densities = [
+        int(d)
+        for d in os.environ.get(
+            "SPARTAN_BENCH_DENSITIES",
+            os.environ.get("SPARTAN_BENCH_DENSITY", "0"),
+        ).split(",")
     ]
     log_v = 2
 
@@ -118,7 +127,7 @@ def child_main():
         def sample_fr(self):
             return self._r.randrange(hf.R)
 
-    for log_n in sizes:
+    for log_n, density in [(s_, d_) for s_ in sizes for d_ in densities]:
         rng = random.Random(0)
         num_public = 1 << log_v
         num_private = (1 << log_n) - num_public
@@ -169,8 +178,9 @@ def child_main():
             f"devices={jax.devices()}",
             file=sys.stderr, flush=True,
         )
-        print(json.dumps(_result_line(log_n, prove_s, verify_s, proof_bytes, nnz)),
-              flush=True)
+        extras = {"density": density} if density else None
+        print(json.dumps(_result_line(log_n, prove_s, verify_s, proof_bytes, nnz,
+                                      extras)), flush=True)
 
 
 def main():
