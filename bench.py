@@ -9,24 +9,29 @@ so vs_baseline compares against an *analytic* single-core Rust ESTIMATE for
 the same circuit, built from arkworks-era per-op costs (documented in
 ``rust_single_core_estimate_s``); the "baseline_kind" key labels this.
 
-Driver-budget design (round 2's failure: a 19-min cold compile of the
-smallest size consumed the budget, and the escalation gate measured wall
-time including compiles, so nothing bigger ever ran):
+Driver-budget design (round 2 lost the budget to a 19-min cold compile of
+the smallest size; round 3 lost it to a 462 s cold keygen at 2^6 plus an
+ASCENDING ladder that spent the budget before 2^14 started):
 
-- ONE child process escalates through all sizes so jit programs are shared
-  between sizes (per-width sumcheck rounds, fixed-width tail rounds, the
-  Mosaic kernels — which the TPU backend does NOT persistently cache, so
-  subprocess-per-size would recompile everything every time).
+- ONE child process runs all sizes so jit programs are shared between sizes
+  (per-width sumcheck rounds, fixed-width tail rounds, the Mosaic kernels —
+  which the TPU backend does NOT persistently cache, so subprocess-per-size
+  would recompile everything every time).
+- The ladder is ordered LARGEST-VALUE-FIRST (default 14,16,12): the target
+  sizes run before the small ones, so budget expiry costs the least
+  interesting rows. Keys for every ladder size are pre-cached on disk
+  (persist.save_keys) so no size ever pays cold keygen.
 - The child prints one JSON line per completed size immediately (flushed);
   the parent enforces the global budget and reports the LARGEST completed
   size when the budget expires, even if the child died mid-size.
-- Escalation gating uses the measured *warm* prove time of the previous size
-  (compiles already paid), not wall duration.
+- verify is timed twice: cold (includes one-time compiles) and warm; the
+  headline verify_s is the warm number (the reference's verifier never
+  pays compiles, so the warm number is the comparable one).
 
 Environment knobs:
   SPARTAN_BENCH_BUDGET_S  global wall budget in seconds (default 1500)
-  SPARTAN_BENCH_SIZES     comma list of log_n to escalate through
-                          (default 6,12,14,16)
+  SPARTAN_BENCH_SIZES     comma list of log_n, run in the given order
+                          (default 14,16,12)
   SPARTAN_BENCH_REPS      timed prove repetitions after warmup (default 1)
   SPARTAN_BENCH_DENSITY   circuit density knob (default 0; reference sweeps
                           0..229 — src/benchmark.rs:69-78)
@@ -80,6 +85,7 @@ def _result_line(log_n, prove_s, verify_s, proof_bytes, nnz, extras=None):
         "verify_s": round(verify_s, 3),
         "proof_bytes": proof_bytes,
         "rust_est_s": round(rust_est, 3),
+        "log_n": log_n,
     }
     if extras:
         out.update(extras)
@@ -106,7 +112,7 @@ def child_main():
     reps = int(os.environ.get("SPARTAN_BENCH_REPS", "1"))
     sizes = [
         int(s)
-        for s in os.environ.get("SPARTAN_BENCH_SIZES", "6,12,14,16").split(",")
+        for s in os.environ.get("SPARTAN_BENCH_SIZES", "14,16,12").split(",")
     ]
     # density sweep (reference src/benchmark.rs:69-78 sweeps 0..229 at fixed
     # size): SPARTAN_BENCH_DENSITIES=0,64,128,229 crosses every size with
@@ -166,19 +172,27 @@ def child_main():
         prove_s = min(times)
 
         proof_bytes = len(proof.serialize())
+        vk = pk.vk()
         t0 = time.perf_counter()
-        ok = MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
-        verify_s = time.perf_counter() - t0
+        ok = MLArgumentForR1CS.verify(vk, v, proof, vp)  # cold: pays compiles
+        verify_cold_s = time.perf_counter() - t0
+        assert ok
+        t0 = time.perf_counter()
+        ok = MLArgumentForR1CS.verify(vk, v, proof, vp)
+        verify_s = time.perf_counter() - t0  # warm: the comparable number
         assert ok
 
         print(
             f"# logn={log_n} density={density} setup={setup_s:.2f}s "
             f"warmup_prove={warm_s:.2f}s prove={prove_s:.2f}s "
-            f"verify={verify_s:.2f}s proof={proof_bytes}B nnz={nnz} "
+            f"verify_warm={verify_s:.2f}s verify_cold={verify_cold_s:.2f}s "
+            f"proof={proof_bytes}B nnz={nnz} "
             f"devices={jax.devices()}",
             file=sys.stderr, flush=True,
         )
-        extras = {"density": density} if density else None
+        extras = {"verify_cold_s": round(verify_cold_s, 3)}
+        if density:
+            extras["density"] = density
         print(json.dumps(_result_line(log_n, prove_s, verify_s, proof_bytes, nnz,
                                       extras)), flush=True)
 
@@ -203,10 +217,9 @@ def main():
 
     import selectors
 
-    best = None
+    rows = []
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
-    buf = ""
     while True:
         remaining = deadline - time.monotonic()
         if remaining <= 0:
@@ -222,8 +235,9 @@ def main():
         if not line:
             continue
         try:
-            best = json.loads(line)
-            print(f"# completed {best['metric']}", file=sys.stderr, flush=True)
+            row = json.loads(line)
+            rows.append(row)
+            print(f"# completed {row['metric']}", file=sys.stderr, flush=True)
         except ValueError:
             pass
 
@@ -236,7 +250,7 @@ def main():
         print("# budget expired; reporting largest completed size",
               file=sys.stderr, flush=True)
 
-    if best is None:
+    if not rows:
         best = {
             "metric": "prove_wall_s",
             "value": -1,
@@ -245,6 +259,16 @@ def main():
             "baseline_kind": "analytic-rust-single-core-estimate",
             "note": "no size completed within budget",
         }
+    else:
+        # headline = LARGEST completed size (the ladder may run out of order)
+        best = dict(max(rows, key=lambda r: r.get("log_n", -1)))
+        if len(rows) > 1:
+            best["rows"] = [
+                {k: r.get(k) for k in
+                 ("metric", "value", "vs_baseline", "verify_s", "proof_bytes",
+                  "density") if k in r}
+                for r in rows
+            ]
     print(json.dumps(best))
 
 

@@ -46,7 +46,14 @@ class _Rng:
 
 
 def _cache(nv):
-    return f"benchmark_cached_keys_{nv}.npz"
+    local = f"benchmark_cached_keys_{nv}.npz"
+    if os.path.exists(local):
+        return local
+    # reuse the end-to-end bench's cached keys when present (same keygen)
+    shared = f"/root/.cache/spartan_bench_keys_{nv}.npz"
+    if os.path.exists(shared):
+        return shared
+    return local
 
 
 def setup_bench(lo, hi):
@@ -59,6 +66,8 @@ def setup_bench(lo, hi):
 
 
 def run_bench(lo, hi):
+    """Times are reported WARM (second call per phase; the first pays the
+    one-time jit compiles, which the reference's Rust has no analog of)."""
     rng = random.Random(1)
     for nv in range(lo, hi + 1):
         pp, vp = persist.load_keys(_cache(nv))
@@ -66,21 +75,25 @@ def run_bench(lo, hi):
         poly = fo.encode_mont(FR, poly_ints)
         point = [rng.randrange(hf.R) for _ in range(nv)]
 
+        com = pc.commit(pp, poly)  # warmup (compiles)
         t0 = time.perf_counter()
         com = pc.commit(pp, poly)
         t_commit = time.perf_counter() - t0
 
+        pc.open_poly(pp, poly, point)  # warmup
         t0 = time.perf_counter()
         ev, proof, _ = pc.open_poly(pp, poly, point)
         t_open = time.perf_counter() - t0
 
+        ok = pc.verify(vp, com, point, ev, proof)  # host-side; warm == cold
         t0 = time.perf_counter()
         ok = pc.verify(vp, com, point, ev, proof)
         t_verify = time.perf_counter() - t0
         assert ok
         print(
             f"nv={nv} (size={1 << nv}): commit={t_commit:.3f}s "
-            f"open={t_open:.3f}s verify={t_verify:.3f}s"
+            f"open={t_open:.3f}s verify={t_verify:.3f}s",
+            flush=True,
         )
 
 

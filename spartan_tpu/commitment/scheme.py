@@ -251,11 +251,12 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
                 lambda *leaves: cat(list(leaves)), *[bases_list[g] for g in idxs]
             )
             scalars = jnp.concatenate([scalars_list[g] for g in idxs], axis=1)
-            # c=4: halves the digits per window but QUARTERS the dominant
-            # suffix-reduction work over the L*nw*2^c bucket lanes — measured
-            # ~3x faster opening at 2^12 than c=8
+            # c=8 (32 windows): the signed-digit + pair-tree bucket reduction
+            # in ops/msm keeps the reduction cost ~3*2^(c-1) adds per window,
+            # so the larger window halves the dominant walk adds vs the
+            # round-3 c=4 configuration
             res = msm_mod.msm_many(
-                bases, tuple(sizes[g] for g in idxs), scalars, "fp2", 4
+                bases, tuple(sizes[g] for g in idxs), scalars, "fp2", 8
             )
             for j, g in enumerate(idxs):
                 device_results[g] = jax.tree_util.tree_map(

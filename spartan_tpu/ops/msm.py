@@ -9,21 +9,21 @@ The reference runs a serial bucket-method Pippenger on one CPU core. The TPU
 rebuild keeps Pippenger's window/bucket structure but replaces the serial
 bucket scatter with a data-oblivious pipeline over ALL windows at once:
 
-  1. digit extraction from 16-bit scalar limbs (c-bit windows),
-  2. one argsort of the composite key ``window * 2^c + digit`` over the
-     nw*N tiled lanes (XLA sort; window-major, digit within window),
-  3. one inclusive *segmented scan* with the Jacobian group law as combiner
-     (Hillis-Steele distance doubling: log2(nw*N) full-width batched adds —
-     segment boundaries fall wherever the key changes, which covers both
-     digit changes and window boundaries),
-  4. segment-end extraction -> conflict-free scatter into nw*2^c buckets,
-  5. masked suffix-sum weighted bucket reduction (2c batched adds, all
-     windows in the same lanes), then a Horner combine across windows.
+  1. SIGNED c-bit digit recoding from 16-bit scalar limbs (halves the
+     bucket count; negative digits negate the affine base's y for free),
+  2. one argsort of the composite key ``window * stride + bucket`` over the
+     nw*N tiled lanes (XLA sort; window-major, bucket within window; zero
+     digits land in a per-window sentinel bucket that is discarded),
+  3. bucket accumulation: a strided sub-walker walk (~1 add per point) for
+     dense levels or a Hillis-Steele segmented scan for sparse ones
+     (_bucket_accumulate),
+  4. pair-tree weighted bucket reduction (~3 * 2^(c-1) adds per window,
+     _weighted_reduce_tree), then a Horner combine across windows.
 
-Everything is one jitted program with ~log2(nw*N) + 2c + nw sequential
-batched point adds total (vs per-window scans: nw * log2(N) steps).
-Infinity handling is Z=0 lane selects throughout — no data-dependent
-control flow.
+Everything is one jitted program; infinity handling is Z=0 lane selects
+throughout — no data-dependent control flow (the while_loops have
+data-dependent trip counts but static shapes: adversarial scalars cost
+time, never correctness).
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from spartan_tpu.ops import curve as cv
 from spartan_tpu.ops.curve import PointBatch
 
-__all__ = ["msm", "fixed_base_msm", "digits_from_limbs"]
+__all__ = ["msm", "fixed_base_msm", "digits_from_limbs", "signed_digits"]
 
 
 def digits_from_limbs(scalars, c: int):
@@ -58,8 +58,106 @@ def digits_from_limbs(scalars, c: int):
     return jnp.stack(digs)  # (nw, N)
 
 
+def signed_digits(scalars, c: int):
+    """Signed c-bit window recoding: (16, N) limbs -> (buckets, negs).
+
+    Digits are recoded into [-H, H-1] with H = 2^(c-1) (carrying +1 into the
+    next window on wrap), HALVING the bucket count vs unsigned digits — the
+    point negation that pays for it is free for affine bases (negate y).
+
+    buckets: (nw, N) int32 — |digit| - 1 in [0, H-1] for nonzero digits, or
+    the sentinel H for zero digits (sentinel lanes land in a per-window
+    discard bucket; the per-window layout stride is H + 1).
+    negs: (nw, N) bool — digit < 0.
+
+    The top window cannot wrap: canonical Fr scalars are < 2^255, so the top
+    unsigned digit (+ carry) stays <= H.
+    """
+    digs = digits_from_limbs(scalars, c)  # (nw, N) in [0, 2^c)
+    nw = digs.shape[0]
+    half = 1 << (c - 1)
+    buckets, negs = [], []
+    carry = jnp.zeros_like(digs[0])
+    for w in range(nw):
+        t = digs[w] + carry
+        if w == nw - 1:
+            wrap = jnp.zeros_like(t, dtype=bool)
+        else:
+            wrap = t >= half
+        s = jnp.where(wrap, t - (1 << c), t)  # signed digit in [-H, H-1]
+        carry = wrap.astype(digs.dtype)
+        mag = jnp.abs(s)
+        buckets.append(jnp.where(mag > 0, mag - 1, half).astype(jnp.int32))
+        negs.append(s < 0)
+    return jnp.stack(buckets), jnp.stack(negs)
+
+
 def _tree_take(p: PointBatch, idx) -> PointBatch:
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=-1), p)
+
+
+def _neg_y_where(f, mask, p: PointBatch) -> PointBatch:
+    """Negate y on masked lanes (point negation; infinity lanes stay 0)."""
+    zero = jax.tree_util.tree_map(jnp.zeros_like, p.y)
+    ny = f.sub(zero, p.y)
+    return PointBatch(p.x, f.select(mask, ny, p.y), p.z)
+
+
+def _slice_windows(p: PointBatch, nwin: int, stride: int, keep: int) -> PointBatch:
+    """(..., nwin*stride) -> (..., nwin*keep): first `keep` lanes per window
+    (drops the per-window sentinel buckets)."""
+
+    def sl(a):
+        lead = a.shape[:-1]
+        return a.reshape(lead + (nwin, stride))[..., :keep].reshape(
+            lead + (nwin * keep,)
+        )
+
+    return jax.tree_util.tree_map(sl, p)
+
+
+def _weighted_reduce_tree(f, buckets: PointBatch, bsz: int) -> PointBatch:
+    """Per-window weighted bucket sums R_w = sum_b (b+1) * S_wb.
+
+    buckets: PointBatch (..., nwin * bsz), window-major, bsz a power of two.
+    Returns (..., nwin).
+
+    Pair-halving tree: with S'_j = S_2j + S_2j+1 and U = sum of odd lanes,
+    V(S) = 2 V(S') - Tot + U, which unrolls to V = Tot + sum_k 2^k * U_k
+    (U_k = odd-lane sum captured at halving level k). Total work ~3*bsz adds
+    per window vs the 2c passes * 2^c lanes of the suffix-scan reduction —
+    the saving that makes c=8 (32-window) openings affordable.
+    """
+    even_of = lambda t: jax.tree_util.tree_map(lambda a: a[..., 0::2], t)
+    odd_of = lambda t: jax.tree_util.tree_map(lambda a: a[..., 1::2], t)
+
+    def _blen(p: PointBatch) -> int:
+        leaf = p.x[0] if isinstance(p.x, tuple) else p.x
+        return leaf.shape[-1]
+
+    us = []
+    t = buckets
+    m = bsz
+    while m > 1:
+        e, o = even_of(t), odd_of(t)
+        t = cv.add(f, e, o)
+        us.append(o)  # (..., nwin * m/2)
+        m //= 2
+    tot = t  # (..., nwin): total bucket sum per window
+    nwin = _blen(tot)
+
+    # reduce each U_k to one lane per window by pair adds
+    ubars = []
+    for u in us:
+        while _blen(u) > nwin:
+            u = cv.add(f, even_of(u), odd_of(u))
+        ubars.append(u)
+
+    # Horner: acc = Ubar_{K-1}; acc = 2 acc + Ubar_k for k = K-2..0
+    acc = ubars[-1]
+    for u in reversed(ubars[:-1]):
+        acc = cv.add(f, cv.double(f, acc), u)
+    return cv.add(f, tot, acc)
 
 
 def _tree_roll_masked(p: PointBatch, dist, fill: PointBatch, n: int) -> PointBatch:
@@ -189,12 +287,17 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
     points: PointBatch batched over N (Jacobian, Montgomery coords).
     scalars: (16, N) canonical (non-Montgomery) Fr limbs.
     fname: "fp" (G1) or "fp2" (G2). Returns a single Jacobian point (batch 1).
+
+    Signed c-bit windows (half the buckets of unsigned; negated-base lanes
+    negate y up front, free for affine bases) + pair-tree weighted bucket
+    reduction (see _weighted_reduce_tree).
     """
     f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
     n = scalars.shape[1]
-    digits = digits_from_limbs(scalars, c)  # (nw, N)
-    nw = digits.shape[0]
-    nbuckets = 1 << c
+    buckets_d, negs = signed_digits(scalars, c)  # (nw, N)
+    nw = buckets_d.shape[0]
+    half = 1 << (c - 1)
+    stride = half + 1  # per-window layout: half real buckets + 1 sentinel
 
     # infinities derived from `points` so lax-loop carries inherit shard_map
     # varying axes (plain constants break scan typechecking under shard_map)
@@ -216,26 +319,27 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
     ngroups = nw // chunk
 
     total = chunk * n
-    glen = chunk * nbuckets
+    glen = chunk * stride
     inf_t = _zeros_sized(total)
     inf_g = _zeros_sized(glen)
-    lane = jnp.arange(total)
-    logt = max(1, (total - 1).bit_length())
 
-    def group_buckets(_, dg):
-        """dg: (chunk, N) digits -> (..., chunk * 2^c) buckets.
+    def group_buckets(_, dg_ng):
+        """(chunk, N) digits+negs -> (..., chunk * stride) buckets.
 
-        Composite key = within-group-window * 2^c + digit: one argsort keeps
-        windows contiguous (key is window-major) and digit-sorted inside,
-        so a single segmented scan covers every window in the group."""
+        Composite key = within-group-window * stride + bucket: one argsort
+        keeps windows contiguous (key is window-major) and bucket-sorted
+        inside, so a single pass covers every window in the group. Zero
+        digits land in the per-window sentinel bucket (discarded later)."""
+        dg, ng = dg_ng
         key = (
-            jnp.arange(chunk, dtype=jnp.int32)[:, None] * nbuckets + dg
+            jnp.arange(chunk, dtype=jnp.int32)[:, None] * stride + dg
         ).reshape(-1)  # (chunk*N,)
         order = jnp.argsort(key)
         ks = jnp.take(key, order)
         ps = _tree_take(points, order % n)  # tiled points in sorted key order
+        ps = _neg_y_where(f, jnp.take(ng.reshape(-1), order), ps)
 
-        # segment starts: first lane, or key change (digit OR window boundary)
+        # segment starts: first lane, or key change (bucket OR window change)
         prev_k = jnp.concatenate([ks[:1] - 1, ks[:-1]])
         seg_start = ks != prev_k  # (chunk*N,) bool
         buckets = _bucket_accumulate(
@@ -244,41 +348,23 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
         return None, buckets
 
     if ngroups == 1:
-        _, flat = group_buckets(None, digits)
+        _, flat = group_buckets(None, (buckets_d, negs))
     else:
         _, stacked = jax.lax.scan(
-            group_buckets, None, digits.reshape(ngroups, chunk, n)
+            group_buckets,
+            None,
+            (buckets_d.reshape(ngroups, chunk, n), negs.reshape(ngroups, chunk, n)),
         )
         flat = jax.tree_util.tree_map(
             lambda a: jnp.moveaxis(a, 0, -2).reshape(
-                a.shape[1:-1] + (nw * nbuckets,)
+                a.shape[1:-1] + (nw * stride,)
             ),
             stacked,
         )
 
-    # Weighted bucket reduction, all windows at once:
-    # sum_b b * S_b == (suffix-sum applied twice)[b = 1], per window segment.
-    # Two masked suffix passes = 2c batched point adds total (vs 2^c
-    # sequential adds per window in serial Pippenger).
-    big_l = nw * nbuckets
-    pos = jnp.arange(big_l) & (nbuckets - 1)
-    inf_l = _zeros_sized(big_l)
-
-    def suffix_pass(buckets):
-        def step(s, b):
-            dist = jnp.int32(1) << s
-            rolled = jax.tree_util.tree_map(
-                lambda a: jnp.roll(a, -dist, axis=-1), b
-            )
-            valid = pos + dist < nbuckets  # stay inside the window segment
-            sel = cv.select_point(f, valid, rolled, inf_l)
-            return cv.add(f, b, sel)
-
-        return jax.lax.fori_loop(0, c, step, buckets)
-
-    r2 = suffix_pass(suffix_pass(flat))
-    w_idx = jnp.arange(nw) * nbuckets + 1
-    wsums = _tree_take(r2, w_idx)  # (..., nw): per-window weighted sums
+    # drop sentinel buckets, then weighted reduction (pair tree)
+    flat = _slice_windows(flat, nw, stride, half)
+    wsums = _weighted_reduce_tree(f, flat, half)  # (..., nw)
 
     # Horner combine across windows (MSB window first)
     def window_step(result, w):
@@ -314,9 +400,10 @@ def msm_many(
     n = sum(sizes)
     L = len(sizes)
     assert scalars.shape[1] == n
-    digits = digits_from_limbs(scalars, c)  # (nw, N)
-    nw = digits.shape[0]
-    nbuckets = 1 << c
+    buckets_d, negs = signed_digits(scalars, c)  # (nw, N)
+    nw = buckets_d.shape[0]
+    half = 1 << (c - 1)
+    stride = half + 1  # half real buckets + 1 zero-digit sentinel per window
 
     def _zeros_sized(size: int) -> PointBatch:
         return jax.tree_util.tree_map(
@@ -324,24 +411,23 @@ def msm_many(
             points,
         )
 
-    total = nw * n
-    glen = L * nw * nbuckets
-
     pid = np.repeat(np.arange(L, dtype=np.int32), np.asarray(sizes))  # (N,)
     w_ids = jnp.arange(nw, dtype=jnp.int32)[:, None]
-    key = ((jnp.asarray(pid)[None, :] * nw + w_ids) * nbuckets + digits).reshape(-1)
+    key = ((jnp.asarray(pid)[None, :] * nw + w_ids) * stride + buckets_d).reshape(-1)
     order = jnp.argsort(key)
     ks = jnp.take(key, order)
     ps = _tree_take(points, order % n)  # lane (w, i) -> point i, sorted
+    ps = _neg_y_where(f, jnp.take(negs.reshape(-1), order), ps)
 
     # The key is problem-major and every problem occupies EXACTLY nw*N_l
-    # sorted lanes (its digit count is data-independent), so each problem is
-    # a STATIC contiguous slice of the sorted arrays. Bucket-accumulate each
-    # problem separately so the dense/sparse strategy (see
-    # _bucket_accumulate) is chosen per problem — big opening levels take
-    # the ~1-add-per-point serial walk, tiny levels the short scan.
+    # sorted lanes (its digit count is data-independent; sentinel buckets
+    # stay inside their own window's key range), so each problem is a STATIC
+    # contiguous slice of the sorted arrays. Bucket-accumulate each problem
+    # separately so the dense/sparse strategy (see _bucket_accumulate) is
+    # chosen per problem — big opening levels take the ~1-add-per-point
+    # serial walk, tiny levels the short scan.
     per_problem = []
-    glen_1 = nw * nbuckets
+    glen_1 = nw * stride
     off = 0
     for l, sz in enumerate(sizes):
         t_l = nw * sz
@@ -359,20 +445,12 @@ def msm_many(
         lambda *ls: jnp.concatenate(list(ls), axis=-1), *per_problem
     )
 
-    pos = jnp.arange(glen) & (nbuckets - 1)
-    inf_l = _zeros_sized(glen)
-
-    def suffix_step(s, b):
-        dist = jnp.int32(1) << s
-        rolled = jax.tree_util.tree_map(lambda a: jnp.roll(a, -dist, axis=-1), b)
-        valid = pos + dist < nbuckets
-        sel = cv.select_point(f, valid, rolled, inf_l)
-        return cv.add(f, b, sel)
-
-    r2 = jax.lax.fori_loop(0, c, suffix_step, buckets)
-    r2 = jax.lax.fori_loop(0, c, suffix_step, r2)
-    w_idx = (jnp.arange(L * nw) * nbuckets + 1).reshape(L, nw)
-    wsums = _tree_take(r2, w_idx)  # (..., L, nw): weighted sums per problem
+    # drop sentinels, pair-tree weighted reduction over all L*nw windows
+    buckets = _slice_windows(buckets, L * nw, stride, half)
+    wsums = _weighted_reduce_tree(f, buckets, half)  # (..., L*nw)
+    wsums = jax.tree_util.tree_map(
+        lambda a: a.reshape(a.shape[:-1] + (L, nw)), wsums
+    )
 
     # Horner across windows, batched over the L problems (dynamic index
     # over the minor window axis, (..., L) result lanes)

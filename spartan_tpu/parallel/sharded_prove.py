@@ -106,7 +106,7 @@ def sharded_open(pp: PublicParameter, poly, point: List[int], mesh):
             )
             res = msm_mod.msm_many(
                 cat_bases, tuple(small_sizes),
-                jnp.concatenate(small_scal, axis=1), "fp2", 4,
+                jnp.concatenate(small_scal, axis=1), "fp2", 8,
             )
             for j, i in enumerate(small_idx):
                 device_results[i] = jax.tree_util.tree_map(

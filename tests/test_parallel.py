@@ -113,10 +113,13 @@ def tiny_instance():
     return pk, v, w, pp, vp, proof.serialize()
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 8])
+@pytest.mark.parametrize("ndev", [1, 8])
 def test_sharded_prove_bit_identical(tiny_instance, ndev):
     """prove(..., mesh=...) must emit byte-identical proofs at any shard
-    count (new-design axis, SURVEY.md §2.3; determinism contract §5)."""
+    count (new-design axis, SURVEY.md §2.3; determinism contract §5).
+    ndev=2 was dropped as a duplicate of this case (round-3 verdict item 7);
+    intermediate shard counts are still covered by the cheap kernel-level
+    tests above."""
     from spartan_tpu.protocol.argument import MLArgumentForR1CS
 
     if len(jax.devices()) < ndev:
@@ -126,6 +129,57 @@ def test_sharded_prove_bit_identical(tiny_instance, ndev):
     proof = MLArgumentForR1CS.prove(pk, v, w, pp, mesh=mesh)
     assert proof.serialize() == want_bytes
     assert MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
+
+
+def test_sharded_prove_2e10_bit_identical():
+    """Sharded prove at 2^10 on 8 devices vs the single-device prover.
+
+    Past the toy scale (round-3 verdict item 4): at 2^10 / 8 devices the
+    sumcheck tables stay genuinely sharded for 7 of 10 rounds (the gather
+    fallback only triggers once the post-fold width drops below the device
+    count), and the sharded commit MSM runs 128 points per device. Proof
+    bytes must equal the single-device prover's. Keys are cached on disk
+    (deterministic seed) so repeat suite runs skip the 2^10 keygen.
+    """
+    import os
+
+    from spartan_tpu.commitment import persist
+    from spartan_tpu.models.synthesizer import generate_circuit_with_random_input
+    from spartan_tpu.protocol.argument import MLArgumentForR1CS
+
+    log_n, log_v = 10, 2
+    rng = random.Random(17)
+    cs, v, w = generate_circuit_with_random_input(
+        num_public=1 << log_v, num_private=(1 << log_n) - (1 << log_v),
+        pad_to_square=True, density=1, rng=rng,
+    )
+    a, b, c = cs.to_matrices()
+
+    class _Rng:
+        def __init__(self, seed):
+            self._r = random.Random(seed)
+
+        def sample_fr(self):
+            return self._r.randrange(hf.R)
+
+    cache = "/root/.cache/spartan_test_keys_10.npz"
+    if os.path.exists(cache):
+        from spartan_tpu.commitment import persist as _p
+
+        pp, vp = _p.load_keys(cache)
+    else:
+        pp, vp = MLArgumentForR1CS.setup(log_n, _Rng(23))
+        try:
+            persist.save_keys(cache, pp, vp)
+        except OSError:
+            pass
+    pk = MLArgumentForR1CS.index(a, b, c)
+
+    want = MLArgumentForR1CS.prove(pk, v, w, pp)
+    mesh = sh.make_mesh(8)
+    got = MLArgumentForR1CS.prove(pk, v, w, pp, mesh=mesh)
+    assert got.serialize() == want.serialize()
+    assert MLArgumentForR1CS.verify(pk.vk(), v, got, vp)
 
 
 def test_proof_bytes_match_golden_fixture(tiny_instance):
