@@ -98,11 +98,9 @@ def child_main():
 
     import jax
 
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        "/root/.cache/jax-cpu" if jax.default_backend() == "cpu" else "/root/.cache/jax",
-    )
+    from spartan_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax)
 
     from spartan_tpu.host import field as hf
     from spartan_tpu.models.synthesizer import generate_circuit_with_random_input

@@ -22,13 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# Backend-specific cache dir (keyed off the ACTUAL backend — the
-# JAX_PLATFORMS env var is not reliably honored under the axon plugin)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    "/root/.cache/jax-cpu" if jax.default_backend() == "cpu" else "/root/.cache/jax",
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from spartan_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache(jax)
 
 from spartan_tpu.host import field as hf
 from spartan_tpu import commitment as pc

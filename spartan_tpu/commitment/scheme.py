@@ -290,14 +290,16 @@ def verify(
 ) -> bool:
     """Host-side pairing-product check (verify.rs:12-45)."""
     with span("PC verify pairings"):
-        left = hp.pairing(
-            hc.G1.add(commitment.g_product, hc.G1.neg(hc.G1.mul(vp.g, evaluation))),
-            vp.h,
+        # com * g^{-eval} and g_mask_i * g^{-point_i} as 2-term lincombs
+        # (native Jacobian path; verify.rs:14,21-24 uses a FixedBaseMSM here)
+        left_pt = hc.g1_lincomb(
+            [commitment.g_product, vp.g], [1, hf.R - evaluation % hf.R]
         )
+        left = hp.pairing(left_pt, vp.h)
         pairs = []
         for i in range(vp.nv):
-            lhs = hc.G1.add(
-                vp.g_mask_random[i], hc.G1.neg(hc.G1.mul(vp.g, point[i]))
+            lhs = hc.g1_lincomb(
+                [vp.g_mask_random[i], vp.g], [1, hf.R - point[i] % hf.R]
             )
             pairs.append((lhs, proof.proofs[i]))
         right = hp.product_of_pairings(pairs)

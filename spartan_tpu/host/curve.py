@@ -124,3 +124,24 @@ def _fp2_ops():
 
 G1 = _fp_ops()
 G2 = _fp2_ops()
+
+
+def g1_lincomb(points, scalars):
+    """sum_i s_i * P_i over G1 — native C++ Jacobian path when available.
+
+    The PC verifier's host-side group work (reference src/commitment/
+    verify.rs:14,21-24: com * g^{-eval} and g^{t_i - point_i}) is exactly
+    this shape; the native path turns ~16ms/scalar-mul Python bigint work
+    into ~0.3ms. Falls back to the affine Python oracle bit-identically.
+    """
+    from spartan_tpu.host import native
+
+    res = native.g1_lincomb_native(points, scalars)
+    if res is native.INF_POINT:
+        return None
+    if res is not None:
+        return res
+    acc = None
+    for pt, s in zip(points, scalars):
+        acc = G1.add(acc, G1.mul(pt, s))
+    return acc

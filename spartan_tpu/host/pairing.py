@@ -164,12 +164,12 @@ def final_exponentiation(f):
     return fp12_mul(c, fp12_mul(fp12_sq(m), m))
 
 
-def pairing(p, q):
+def pairing_py(p, q):
     """e(P, Q) for P in G1, Q in G2 (affine tuples, None = infinity)."""
     return final_exponentiation(miller_loop(p, q))
 
 
-def product_of_pairings(pairs):
+def product_of_pairings_py(pairs):
     """prod_i e(P_i, Q_i) with one shared final exponentiation.
 
     Mirrors ``E::product_of_pairings`` (reference: src/commitment/verify.rs:41).
@@ -178,3 +178,21 @@ def product_of_pairings(pairs):
     for p, q in pairs:
         f = fp12_mul(f, miller_loop(p, q))
     return final_exponentiation(f)
+
+
+def pairing(p, q):
+    """e(P, Q); native C++ tower when available (~20x), Python fallback.
+
+    Both paths compute the identical value (tests/test_native.py
+    cross-checks), so results from either are interchangeable.
+    """
+    return product_of_pairings([(p, q)])
+
+
+def product_of_pairings(pairs):
+    from spartan_tpu.host import native
+
+    res = native.pairing_product_native(pairs)
+    if res is not None:
+        return res
+    return product_of_pairings_py(pairs)

@@ -31,6 +31,7 @@ class MatrixExtension:
     rows_list: Matrix  # host sparse rows (for serialization/FS)
     num_constraints: int
     coo: tuple  # (rows int32, cols int32, vals (16,nnz) Montgomery) device
+    _ser_cache: bytes = None  # serialize() result (O(nnz) bytes, built once)
 
     @classmethod
     def new(cls, matrix: Matrix, num_constraints: int) -> "MatrixExtension":
@@ -47,8 +48,15 @@ class MatrixExtension:
 
     def serialize(self) -> bytes:
         """Bytes fed to the FS transcript (reference feeds the whole
-        serialized matrix up front, src/lib.rs:62-64)."""
-        return ser.ser_matrix(self.rows_list) + ser.ser_u64(self.num_constraints)
+        serialized matrix up front, src/lib.rs:62-64). Cached: the O(nnz)
+        packing loop would otherwise run on EVERY prove and verify, and the
+        matrix is immutable after indexing. The same buffer also feeds the
+        native verifier matrix evaluation (host/native.matrix_eval_native)."""
+        if self._ser_cache is None:
+            self._ser_cache = ser.ser_matrix(self.rows_list) + ser.ser_u64(
+                self.num_constraints
+            )
+        return self._ser_cache
 
     # -- MLE ops (device) --------------------------------------------------
     def sum_over_y(self, z):

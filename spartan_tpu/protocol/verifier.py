@@ -20,6 +20,7 @@ Behavioral parity notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -330,6 +331,30 @@ def verify_sixth_round(
     log_n = vk.log_n
     log_v = len(state.v).bit_length() - 1
 
+    # The final matrix evaluations A/B/C(r_x, r_y): O(nnz) host walk in the
+    # native runtime when available (the reference verifier walks the full
+    # matrices on the host too — verifier.rs:493-495 — and at these sizes
+    # the native walk beats even one device dispatch through the tunnel).
+    # Fallback: the fused device program, dispatched FIRST because jax
+    # dispatch is async — the device computes while the host runs the
+    # ~2(log n + 1) pairings below, and only the decode at the end blocks.
+    # (r_x/r_y are already determined by state.randomness; the subclaim
+    # calls merely replay host-side Lagrange checks.)
+    from spartan_tpu.host import native as _native
+
+    first_point = list(state.first_verifier_state.randomness)
+    second_point = list(state.second_verifier_state.randomness)
+    use_native = (
+        os.environ.get("SPARTAN_NATIVE_VERIFY", "1") not in ("0", "false")
+        and _native.load() is not None
+    )
+    abc_fut = None
+    if not use_native:
+        abc_fut = _matrix_evals_fused(
+            vk.matrix_a.coo, vk.matrix_b.coo, vk.matrix_c.coo,
+            fo.encode_mont(FR, first_point), fo.encode_mont(FR, second_point),
+        )
+
     with span("Verify: PC check z(r_v,0..)"):
         r_v_0 = state.r_v + [0] * (log_n - log_v)
         if not pc_verify(vp, state.commit, r_v_0, state.z_rv_0, state.z_rv_0_proof):
@@ -358,12 +383,15 @@ def verify_sixth_round(
         state.second_verifier_state, second_claimed
     )
     r_y = second_sub.point
+    assert r_x == first_point and r_y == second_point
     with span("Verify: matrix evals at (r_x, r_y)"):
-        abc = _matrix_evals_fused(
-            vk.matrix_a.coo, vk.matrix_b.coo, vk.matrix_c.coo,
-            fo.encode_mont(FR, r_x), fo.encode_mont(FR, r_y),
-        )
-        a_rx_ry, b_rx_ry, c_rx_ry = fo.decode_mont(FR, abc)
+        if use_native:
+            a_rx_ry, b_rx_ry, c_rx_ry = (
+                _native.matrix_eval_native(m.serialize(), r_x, r_y, log_n)
+                for m in (vk.matrix_a, vk.matrix_b, vk.matrix_c)
+            )
+        else:
+            a_rx_ry, b_rx_ry, c_rx_ry = fo.decode_mont(FR, abc_fut)
     actual = (
         state.r_a * a_rx_ry % hf.R * z_ry
         + state.r_b * b_rx_ry % hf.R * z_ry

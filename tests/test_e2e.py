@@ -91,3 +91,14 @@ def test_prove_rejects_bad_witness(instance):
     bad_proof = MLArgumentForR1CS.prove(pk, v, w_bad, pp)
     with pytest.raises(SpartanError):
         MLArgumentForR1CS.verify(pk.vk(), v, bad_proof, vp)
+
+
+def test_verify_native_and_device_matrix_eval_agree(instance, proof, monkeypatch):
+    """The native O(nnz) host matrix-eval path and the fused device program
+    must accept the same proof (verifier.py verify_sixth_round routes on
+    SPARTAN_NATIVE_VERIFY; both paths compute A/B/C(r_x, r_y))."""
+    pk, v, w, pp, vp = instance
+    monkeypatch.setenv("SPARTAN_NATIVE_VERIFY", "0")
+    assert MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
+    monkeypatch.setenv("SPARTAN_NATIVE_VERIFY", "1")
+    assert MLArgumentForR1CS.verify(pk.vk(), v, proof, vp)
