@@ -204,7 +204,7 @@ def _bucket_accumulate(f, ps, ks, seg_start, glen, inf_t, inf_g, total):
         # batched add at glen*S lanes) drops by S.
         avg = total // glen
         s_sub = 1
-        while s_sub < 16 and avg // s_sub > 16:
+        while s_sub < 32 and avg // s_sub > 8:
             s_sub *= 2
         wl = glen * s_sub
         idx = jnp.where(seg_start, ks, glen)
@@ -422,27 +422,43 @@ def msm_many(
     # The key is problem-major and every problem occupies EXACTLY nw*N_l
     # sorted lanes (its digit count is data-independent; sentinel buckets
     # stay inside their own window's key range), so each problem is a STATIC
-    # contiguous slice of the sorted arrays. Bucket-accumulate each problem
-    # separately so the dense/sparse strategy (see _bucket_accumulate) is
-    # chosen per problem — big opening levels take the ~1-add-per-point
-    # serial walk, tiny levels the short scan.
-    per_problem = []
+    # contiguous slice of the sorted arrays. Problems are bucket-accumulated
+    # in BANDS of similar average segment length (factor-4 spread): one
+    # _bucket_accumulate instance per band instead of one per level. This
+    # keeps the dense/sparse strategy choice sharp (the walk's trip count is
+    # the band's max segment length, within 4x of every member's average)
+    # while cutting the traced program to a handful of instances — the
+    # per-level version traced 14 while_loop machineries at 2^14 and cost
+    # ~2 min of tracing + MLIR conversion and a 300 MB executable.
     glen_1 = nw * stride
-    off = 0
+
+    def band(sz: int) -> int:
+        return max(0, (sz // stride)).bit_length() // 2
+
+    groups = []  # (level_start, level_count)
     for l, sz in enumerate(sizes):
-        t_l = nw * sz
-        ks_l = ks[off : off + t_l] - jnp.int32(l * glen_1)
-        ps_l = jax.tree_util.tree_map(lambda a: a[..., off : off + t_l], ps)
-        prev = jnp.concatenate([ks_l[:1] - 1, ks_l[:-1]])
-        per_problem.append(
+        if groups and band(sz) == band(sizes[groups[-1][0]]):
+            groups[-1] = (groups[-1][0], groups[-1][1] + 1)
+        else:
+            groups.append((l, 1))
+
+    per_group = []
+    off = 0
+    for l0, cnt in groups:
+        t_g = nw * sum(sizes[l0 : l0 + cnt])
+        glen_g = cnt * glen_1
+        ks_g = ks[off : off + t_g] - jnp.int32(l0 * glen_1)
+        ps_g = jax.tree_util.tree_map(lambda a: a[..., off : off + t_g], ps)
+        prev = jnp.concatenate([ks_g[:1] - 1, ks_g[:-1]])
+        per_group.append(
             _bucket_accumulate(
-                f, ps_l, ks_l, ks_l != prev, glen_1,
-                _zeros_sized(t_l), _zeros_sized(glen_1), t_l,
+                f, ps_g, ks_g, ks_g != prev, glen_g,
+                _zeros_sized(t_g), _zeros_sized(glen_g), t_g,
             )
         )
-        off += t_l
+        off += t_g
     buckets = jax.tree_util.tree_map(
-        lambda *ls: jnp.concatenate(list(ls), axis=-1), *per_problem
+        lambda *ls: jnp.concatenate(list(ls), axis=-1), *per_group
     )
 
     # drop sentinels, pair-tree weighted reduction over all L*nw windows

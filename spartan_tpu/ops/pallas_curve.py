@@ -307,22 +307,49 @@ def _build(kind: str, n: int, block: int):
     )
 
 
-def _pad(arrs, block):
-    k, n = arrs[0].shape
-    rem = n % block
-    if rem == 0:
-        return arrs, n
-    pad = block - rem
-    z = jnp.zeros((k, pad), jnp.uint32)
-    return [jnp.concatenate([a, z], axis=1) for a in arrs], n
+# A point-add kernel body takes ~10-30 s of pure Python to TRACE (tens of
+# thousands of inner jnp-jit traces), and pallas re-traces it for every
+# pallas_call instance — i.e. for every distinct lane width. One MSM touches
+# a dozen widths (walk lanes, each reduce-tree halving, the Horner tail), so
+# kernel TRACING dominated cold prove (~480 s of an 820 s cold 2^12 prove,
+# profiled). Fix: run every op at one of TWO canonical widths — pad small
+# ops to _BLOCK lanes, split big ones into _CHUNK-lane pieces — and wrap
+# each (kind, width) in jax.jit. The nested jit is NOT inlined at trace
+# time, so the kernel traces once per process and each later use costs one
+# pjit equation; the padding/split waste is bounded (<= _BLOCK-1 lanes for
+# small ops, < _CHUNK per big op) and the canonical shapes double as better
+# persistent-cache keys shared across problem sizes.
+_CHUNK = 4096
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(kind: str, width: int):
+    return jax.jit(lambda *arrs: _build(kind, width, _BLOCK)(*arrs))
 
 
 def _run(kind: str, arrs):
-    n = arrs[0].shape[1]
-    block = min(_BLOCK, max(128, ((n + 127) // 128) * 128))
-    padded, orig = _pad(list(arrs), block)
-    outs = _build(kind, padded[0].shape[1], block)(*padded)
-    return [o[:, :orig] for o in outs]
+    arrs = list(arrs)
+    k, n = arrs[0].shape
+    if n <= _BLOCK:
+        if n < _BLOCK:
+            z = jnp.zeros((k, _BLOCK - n), jnp.uint32)
+            arrs = [jnp.concatenate([a, z], axis=1) for a in arrs]
+        outs = _jitted(kind, _BLOCK)(*arrs)
+        return [o[:, :n] for o in outs]
+    nc = (n + _CHUNK - 1) // _CHUNK
+    if n < nc * _CHUNK:
+        z = jnp.zeros((k, nc * _CHUNK - n), jnp.uint32)
+        arrs = [jnp.concatenate([a, z], axis=1) for a in arrs]
+    fn = _jitted(kind, _CHUNK)
+    pieces = []
+    for c in range(nc):
+        sl = [a[:, c * _CHUNK : (c + 1) * _CHUNK] for a in arrs]
+        pieces.append(fn(*sl))
+    outs = [
+        jnp.concatenate([p[i] for p in pieces], axis=1)
+        for i in range(len(pieces[0]))
+    ]
+    return [o[:, :n] for o in outs]
 
 
 # -- public: PointBatch-level ops ------------------------------------------
