@@ -693,6 +693,39 @@ static void fr_eq_table(const uint8_t* point, int log_n, Fr* table) {
   }
 }
 
+// O(nnz) walk of one serialized sparse matrix against prebuilt eq tables.
+// Returns 0 on success, nonzero rc on malformed input. Bounds checks divide
+// instead of multiplying so a huge `len` cannot wrap the arithmetic.
+static int32_t matrix_eval_walk(const uint8_t* ser, uint64_t ser_len,
+                                const Fr* eqx, const Fr* eqy, uint64_t n,
+                                Fr* acc_out) {
+  if (ser_len < 8) return 1;
+  uint64_t n_rows;
+  memcpy(&n_rows, ser, 8);
+  if (n_rows > n) return 2;
+  Fr acc = {{0, 0, 0, 0}};
+  const uint8_t* p = ser + 8;
+  const uint8_t* end = ser + ser_len;
+  for (uint64_t r = 0; r < n_rows; r++) {
+    if ((uint64_t)(end - p) < 8) return 3;
+    uint64_t len;
+    memcpy(&len, p, 8);
+    p += 8;
+    if (len > (uint64_t)(end - p) / 40) return 4;
+    for (uint64_t j = 0; j < len; j++) {
+      Fr coeff = fr_from_canonical_bytes(p);
+      p += 32;
+      uint64_t col;
+      memcpy(&col, p, 8);
+      p += 8;
+      if (col >= n) return 5;
+      acc = fr_add(acc, fr_mul(fr_mul(coeff, eqx[r]), eqy[col]));
+    }
+  }
+  *acc_out = acc;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -706,37 +739,46 @@ int32_t spartan_matrix_eval(const uint8_t* ser, uint64_t ser_len,
                             const uint8_t* rx, const uint8_t* ry,
                             uint64_t log_n, uint8_t* out32) {
   uint64_t n = 1ULL << log_n;
-  if (ser_len < 8) return 1;
-  uint64_t n_rows;
-  memcpy(&n_rows, ser, 8);
-  if (n_rows > n) return 2;
   Fr* eqx = new Fr[n];
   Fr* eqy = new Fr[n];
   fr_eq_table(rx, (int)log_n, eqx);
   fr_eq_table(ry, (int)log_n, eqy);
-  Fr acc = {{0, 0, 0, 0}};
-  const uint8_t* p = ser + 8;
-  const uint8_t* end = ser + ser_len;
-  for (uint64_t r = 0; r < n_rows; r++) {
-    if (p + 8 > end) { delete[] eqx; delete[] eqy; return 3; }
-    uint64_t len;
-    memcpy(&len, p, 8);
-    p += 8;
-    if (p + 40 * len > end) { delete[] eqx; delete[] eqy; return 4; }
-    for (uint64_t j = 0; j < len; j++) {
-      Fr coeff = fr_from_canonical_bytes(p);
-      p += 32;
-      uint64_t col;
-      memcpy(&col, p, 8);
-      p += 8;
-      if (col >= n) { delete[] eqx; delete[] eqy; return 5; }
-      acc = fr_add(acc, fr_mul(fr_mul(coeff, eqx[r]), eqy[col]));
-    }
-  }
-  fr_to_canonical_bytes(acc, out32);
+  Fr acc;
+  int32_t rc = matrix_eval_walk(ser, ser_len, eqx, eqy, n, &acc);
+  if (rc == 0) fr_to_canonical_bytes(acc, out32);
   delete[] eqx;
   delete[] eqy;
-  return 0;
+  return rc;
+}
+
+// Same evaluation for THREE matrices (A, B, C) sharing one pair of eq
+// tables — the verifier's deferred check needs all three at the same
+// (rx, ry) (reference src/ahp/verifier.rs:493-495), and the two 2*2^log_n
+// Fr-mul table builds dominate the walk for sparse circuits.
+// out96: 3 canonical Fr values. Nonzero rc identifies the failing matrix
+// in its tens digit (10/20/30) plus the walk rc in the ones digit.
+int32_t spartan_matrix_eval3(const uint8_t* ser_a, uint64_t len_a,
+                             const uint8_t* ser_b, uint64_t len_b,
+                             const uint8_t* ser_c, uint64_t len_c,
+                             const uint8_t* rx, const uint8_t* ry,
+                             uint64_t log_n, uint8_t* out96) {
+  uint64_t n = 1ULL << log_n;
+  Fr* eqx = new Fr[n];
+  Fr* eqy = new Fr[n];
+  fr_eq_table(rx, (int)log_n, eqx);
+  fr_eq_table(ry, (int)log_n, eqy);
+  const uint8_t* sers[3] = {ser_a, ser_b, ser_c};
+  const uint64_t lens[3] = {len_a, len_b, len_c};
+  int32_t rc = 0;
+  for (int m = 0; m < 3 && rc == 0; m++) {
+    Fr acc;
+    rc = matrix_eval_walk(sers[m], lens[m], eqx, eqy, n, &acc);
+    if (rc == 0) fr_to_canonical_bytes(acc, out96 + 32 * m);
+    else rc += 10 * (m + 1);
+  }
+  delete[] eqx;
+  delete[] eqy;
+  return rc;
 }
 
 // Product of n Miller loops + one shared final exponentiation.

@@ -237,12 +237,20 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
         # budget allows (ops/msm.msm_many): the whole opening then costs about
         # one commit-sized MSM instead of nv sequential ones. Oversized levels
         # (beyond the lane budget) run individually via msm's window chunking.
-        nw = 32  # 256-bit scalars / 8-bit windows
+        #
+        # Window size per level: c=8 (32 windows) for big levels — the
+        # signed-digit pair-tree reduction keeps the ~3*2^(c-1)-adds-per-
+        # window reduce affordable and halves the dominant walk adds — but
+        # the reduce cost is PER LEVEL, so the many small tail levels pay
+        # 32*384 lane-adds each for a handful of points. They run in a
+        # separate c=4 program (64 windows, 24 reduce adds per window) where
+        # their bucket occupancy also stays dense enough for the strided
+        # walk instead of the full-add segmented scan (measured: the tail
+        # band was ~25% of the opening MSM at 2^14).
         max_lanes = 1 << 21
         device_results = [None] * nv
-        group: list = []
 
-        def _flush(group):
+        def _flush(group, c):
             if not group:
                 return
             idxs = [g for g in group]
@@ -251,29 +259,31 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
                 lambda *leaves: cat(list(leaves)), *[bases_list[g] for g in idxs]
             )
             scalars = jnp.concatenate([scalars_list[g] for g in idxs], axis=1)
-            # c=8 (32 windows): the signed-digit + pair-tree bucket reduction
-            # in ops/msm keeps the reduction cost ~3*2^(c-1) adds per window,
-            # so the larger window halves the dominant walk adds vs the
-            # round-3 c=4 configuration
             res = msm_mod.msm_many(
-                bases, tuple(sizes[g] for g in idxs), scalars, "fp2", 8
+                bases, tuple(sizes[g] for g in idxs), scalars, "fp2", c
             )
             for j, g in enumerate(idxs):
                 device_results[g] = jax.tree_util.tree_map(
                     lambda a: a[..., j : j + 1], res
                 )
 
-        budget = 0
-        for i in range(nv):
-            if nw * sizes[i] > max_lanes:
-                device_results[i] = msm_mod.msm(bases_list[i], scalars_list[i], "fp2")
-                continue
-            if group and budget + nw * sizes[i] > max_lanes:
-                _flush(group)
-                group, budget = [], 0
-            group.append(i)
-            budget += nw * sizes[i]
-        _flush(group)
+        for c, levels in ((8, [i for i in range(nv) if sizes[i] >= 512]),
+                          (4, [i for i in range(nv) if sizes[i] < 512])):
+            nw = 256 // c
+            group: list = []
+            budget = 0
+            for i in levels:
+                if nw * sizes[i] > max_lanes:
+                    device_results[i] = msm_mod.msm(
+                        bases_list[i], scalars_list[i], "fp2"
+                    )
+                    continue
+                if group and budget + nw * sizes[i] > max_lanes:
+                    _flush(group, c)
+                    group, budget = [], 0
+                group.append(i)
+                budget += nw * sizes[i]
+            _flush(group, c)
 
         proofs = cv.g2_decode_many(device_results)  # one host fetch for all levels
 

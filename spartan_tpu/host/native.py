@@ -75,6 +75,14 @@ def load():
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
         ]
+        lib.spartan_matrix_eval3.restype = ctypes.c_int32
+        lib.spartan_matrix_eval3.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -215,6 +223,31 @@ def matrix_eval_native(ser_bytes: bytes, rx, ry, log_n: int):
     if rc != 0:
         raise ValueError(f"spartan_matrix_eval: malformed input (rc={rc})")
     return int.from_bytes(out.raw, "little")
+
+
+def matrix_eval3_native(ser_a: bytes, ser_b: bytes, ser_c: bytes, rx, ry,
+                        log_n: int):
+    """(A, B, C)(rx, ry) in one native call sharing the two eq tables
+    (3x fewer table builds than three matrix_eval_native calls); None if
+    the native library is unavailable. Returns three canonical Fr ints."""
+    lib = load()
+    if lib is None:
+        return None
+    from spartan_tpu.host.field import R
+
+    rx_b = b"".join((int(x) % R).to_bytes(32, "little") for x in rx)
+    ry_b = b"".join((int(y) % R).to_bytes(32, "little") for y in ry)
+    out = ctypes.create_string_buffer(96)
+    rc = lib.spartan_matrix_eval3(
+        ser_a, len(ser_a), ser_b, len(ser_b), ser_c, len(ser_c),
+        rx_b, ry_b, log_n, out,
+    )
+    if rc != 0:
+        raise ValueError(f"spartan_matrix_eval3: malformed input (rc={rc})")
+    return tuple(
+        int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "little")
+        for i in range(3)
+    )
 
 
 def ser_matrix_native(rows) -> bytes | None:

@@ -298,10 +298,15 @@ def g1_encode(points) -> PointBatch:
 
 
 def g1_decode(p: PointBatch):
-    """Jacobian PointBatch -> list of host affine points (None = infinity)."""
-    xs = fo.decode_mont(FP, p.x)
-    ys = fo.decode_mont(FP, p.y)
-    zs = fo.decode_mont(FP, p.z)
+    """Jacobian PointBatch -> list of host affine points (None = infinity).
+
+    One host fetch for all three coordinate arrays (3 separate device_gets
+    cost 2 extra tunnel round-trips per commit decode)."""
+    n = p.x.shape[-1]
+    stacked = np.asarray(jnp.concatenate([p.x, p.y, p.z], axis=-1))
+    xs = fo.decode_mont(FP, stacked[:, :n])
+    ys = fo.decode_mont(FP, stacked[:, n : 2 * n])
+    zs = fo.decode_mont(FP, stacked[:, 2 * n :])
     out = []
     for x, y, z in zip(xs, ys, zs):
         if z == 0:

@@ -233,24 +233,25 @@ def mont_mul(spec: FieldSpec, a, b):
         # different varying axes and the carry type must be stable
         bcur = jnp.concatenate([bcur[1:], bcur[:1] * 0], axis=0)
         p = a * bj  # (K, ...) exact 32-bit products
-        acc = (
-            acc
-            + jnp.concatenate([p & MASK16, zpad], axis=0)
-            + jnp.concatenate([zrow, p >> 16, zrow], axis=0)
-        )
-        mi = (acc[0] * inv16) & MASK16  # low 16 bits correct despite lazies
+        # mi from acc[0] + p[0] BEFORE accumulating (wraparound preserves the
+        # low 16 bits), merging the p and q accumulates into one pass
+        mi = ((acc[0] + p[0]) * inv16) & MASK16
         q = m_col * mi[None, ...]
+        lo = (p & MASK16) + (q & MASK16)  # < 2^17
+        hi = (p >> 16) + (q >> 16)  # < 2^17
         acc = (
             acc
-            + jnp.concatenate([q & MASK16, zpad], axis=0)
-            + jnp.concatenate([zrow, q >> 16, zrow], axis=0)
+            + jnp.concatenate([lo, zpad], axis=0)
+            + jnp.concatenate([zrow, hi, zrow], axis=0)
         )
         # limb 0 now divisible by 2^16: shift down one limb, folding its
         # high part into the new low limb
         carry0 = acc[0] >> 16
         acc = jnp.concatenate([acc[1:], zrow], axis=0)
         acc = acc + jnp.concatenate([carry0[None, ...], jnp.zeros_like(acc[1:])], axis=0)
-        return _acc_split(acc), bcur  # lazy split keeps limbs < 2^17
+        # no per-step carry split: rows gain < 2^18.3/step and live <= K+2
+        # shifts, staying < 2^23 (see pallas_field._mont_mul_arr)
+        return acc, bcur
 
     acc, _ = jax.lax.fori_loop(0, k, step, (acc0, b))
 

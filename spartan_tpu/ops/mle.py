@@ -39,6 +39,7 @@ __all__ = [
     "eval_binary",
     "eq_table",
     "eq_suffix_tables",
+    "eq_suffix_tables_mont",
     "sum_mod",
     "scale",
 ]
@@ -116,11 +117,16 @@ def eq_suffix_tables(ts_ints):
     S[j]'s variable 0 (LSB) corresponds to ts[j] — i.e. the first
     still-unfixed sumcheck variable, matching the fold order.
     """
-    nv = len(ts_ints)
+    return eq_suffix_tables_mont(f.encode_mont(FR, ts_ints))
+
+
+def eq_suffix_tables_mont(ts_mont):
+    """eq_suffix_tables for a traced (16, nv) Montgomery point (jit-safe)."""
+    nv = ts_mont.shape[1]
     tables = [None] * (nv + 1)
     tables[nv] = f.ones_mont(FR, (1,))
     for j in range(nv - 1, -1, -1):
-        tj = f.encode_mont(FR, [ts_ints[j]])  # (16, 1)
+        tj = ts_mont[:, j : j + 1]  # (16, 1)
         one = f.ones_mont(FR, (1,))
         one_minus = f.sub(FR, one, tj)
         nxt = tables[j + 1]  # (16, M)

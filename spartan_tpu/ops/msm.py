@@ -184,7 +184,7 @@ def _bucket_accumulate(f, ps, ks, seg_start, glen, inf_t, inf_g, total):
     worst case bounded, adversarial scalars only cost time, never
     correctness):
 
-    - dense (avg >= 4): serial-within-bucket accumulation. Each bucket walks
+    - dense (avg >= 1): serial-within-bucket accumulation. Each bucket walks
       its contiguous segment one element per step, all glen buckets in
       parallel: ~max_segment_length steps of glen-lane adds ≈ ONE add per
       point total (for uniform digits max_segment ≈ avg + few sqrt(avg)).
@@ -195,7 +195,15 @@ def _bucket_accumulate(f, ps, ks, seg_start, glen, inf_t, inf_g, total):
     """
     lane = jnp.arange(total)
 
-    if total >= 4 * glen:
+    # static cost model: the walk does ~glen * max_segment MIXED adds
+    # (estimate max_seg ~ avg + 3 sqrt(avg) + 2 for random digits); the
+    # segmented scan does ~total * log2(max_seg) FULL adds (~1.33x a mixed
+    # add). Both shapes are static, so the choice is too.
+    avg = total / glen
+    est_seg = avg + 3.0 * avg ** 0.5 + 2.0
+    walk_cost = 0.75 * glen * est_seg
+    hs_cost = total * max(1.0, np.ceil(np.log2(est_seg)))
+    if walk_cost <= hs_cost:
         # --- strided-within-bucket walk with S sub-walkers per bucket:
         # walker s of bucket b consumes segment offsets s, s+S, s+2S, ... so
         # the while_loop runs ~avg_segment/S (+deviation/S) steps; the S

@@ -28,7 +28,10 @@ from spartan_tpu.ops import pallas_field as pf
 from spartan_tpu.ops.field import FP
 
 MASK16 = 0xFFFF
-_BLOCK = 512  # batch lanes per block (VMEM: ~36 live (24,B) temporaries)
+import os as _os
+
+# batch lanes per block (VMEM: ~36 live (24,B) temporaries)
+_BLOCK = int(_os.environ.get("SPARTAN_PALLAS_CURVE_BLOCK", "512"))
 
 
 class _Fp:
@@ -297,6 +300,19 @@ def _build(kind: str, n: int, block: int):
         "g2_double": _g2_double_kernel,
     }[kind]
     spec = pl.BlockSpec((k, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    # the default 16 MB scoped-vmem limit forces tiny 512-lane blocks (the
+    # point formulas hold ~36 live (24, B) temporaries); raising it lets
+    # wider blocks amortize per-op issue overhead (v5e has 128 MB VMEM)
+    kw = {}
+    if not pf._interpret():
+        try:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        except AttributeError:  # older jax naming
+            kw["compiler_params"] = pltpu.TPUCompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
     return pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((k, n), jnp.uint32) for _ in range(nout)),
@@ -304,6 +320,7 @@ def _build(kind: str, n: int, block: int):
         in_specs=[spec] * nin,
         out_specs=tuple(spec for _ in range(nout)),
         interpret=pf._interpret(),
+        **kw,
     )
 
 

@@ -35,10 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK16 = 0xFFFF  # python int: scalar constants are always safe to capture
 
-# default batch block (lanes x sublanes fill): 8 sublanes x 128 lanes x 4
-_BLOCK = 4096
-
 import os as _os
+
+# default batch block (lanes x sublanes fill): 8 sublanes x 128 lanes x 4
+_BLOCK = int(_os.environ.get("SPARTAN_PALLAS_BLOCK", "4096"))
 
 # limbs of b consumed per fori_loop step in the CIOS multiply (must divide
 # both 16 and 24; compile cost grows, runtime shrinks with larger values)
@@ -50,33 +50,57 @@ def _shift_up(arr):
     return jnp.concatenate([jnp.zeros_like(arr[:1]), arr[:-1]], axis=0)
 
 
+def _shift_up_by(x, d):
+    return jnp.concatenate([jnp.zeros_like(x[:d]), x[:-d]], axis=0)
+
+
 def _carry_exact(acc):
     """Exact carry propagation over a (K, B) lazy-limb array (in-kernel).
 
-    Sequential ripple, unrolled K cheap VPU steps; leaves every limb < 2^16.
-    Top carry dropped (callers ensure headroom in the leading limb).
+    Kogge-Stone (generate/propagate) prefix over full-width arrays —
+    O(log K) wide vector ops instead of the former K-step single-row ripple
+    (2K narrow (1, B) ops, terrible VPU sublane utilization; the ripple ran
+    after EVERY field op inside the fused point kernels and dominated them).
+    Handles input limbs < 2^32; leaves every limb < 2^16; top carry dropped
+    (callers ensure headroom in the leading limb). Mirrors ops/limb.py's
+    carry_exact (host-tested).
     """
-    rows = [acc[i] for i in range(acc.shape[0])]
-    carry = None
-    for i in range(len(rows)):
-        v = rows[i] if carry is None else rows[i] + carry
-        rows[i] = v & MASK16
-        carry = v >> 16
-    return jnp.stack(rows, axis=0)
+    lo = acc & MASK16
+    s = lo + _shift_up(acc >> 16)
+    lo = s & MASK16  # < 2^16
+    g = s >> 16  # generate, in {0,1}
+    p = (lo == MASK16).astype(jnp.uint32)  # propagate
+    k = acc.shape[0]
+    d = 1
+    while d < k:
+        g = g | (p & _shift_up_by(g, d))
+        p = p & _shift_up_by(p, d)
+        d *= 2
+    return (lo + _shift_up(g)) & MASK16
 
 
 def _sub_cond(acc, m_limbs):
-    """acc - m if acc >= m else acc; acc (K, B) exact 16-bit limbs."""
+    """acc - m if acc >= m else acc; acc (K, B) exact 16-bit limbs.
+
+    Two's-complement add + one KS carry pass (wide ops) instead of the
+    former K-step borrow ripple.
+    """
     k = acc.shape[0]
-    borrow = jnp.zeros_like(acc[0])
-    diff = []
-    for i in range(k):
-        mi = int(m_limbs[i]) if i < len(m_limbs) else 0
-        d = acc[i] - mi - borrow
-        borrow = (d >> 31) & 1  # u32 wraparound detection via sign bit
-        diff.append(d & MASK16)
-    keep = borrow > 0  # borrow out -> acc < m
-    return jnp.where(keep[None, :], acc, jnp.stack(diff, axis=0))
+    comp_rows = jnp.concatenate(
+        [
+            jnp.full_like(acc[:1], MASK16 - (int(m_limbs[i]) if i < len(m_limbs) else 0))
+            for i in range(k)
+        ],
+        axis=0,
+    )
+    s = acc + comp_rows
+    s = s + jnp.concatenate(
+        [jnp.full_like(acc[:1], 1), jnp.zeros_like(acc[1:])], axis=0
+    )
+    ext = jnp.concatenate([s, jnp.zeros_like(acc[:1])], axis=0)
+    ext = _carry_exact(ext)
+    no_borrow = ext[k] > 0  # carry out of the top limb -> acc >= m
+    return jnp.where(no_borrow[None, :], ext[:k], acc)
 
 
 def _mont_mul_arr(a, b, m_limbs, inv16):
@@ -99,17 +123,17 @@ def _mont_mul_arr(a, b, m_limbs, inv16):
         bj = bcur[0:1]  # (1, B): current limb of b
         bcur = jnp.concatenate([bcur[1:], jnp.zeros_like(bcur[:1])], axis=0)
         p = a * bj  # (K, B) exact 32-bit products
-        acc = (
-            acc
-            + jnp.concatenate([p & MASK16, zpad], axis=0)
-            + jnp.concatenate([zpad[:1], p >> 16, zpad[:1]], axis=0)
-        )
-        mi = (acc[0] * inv16) & MASK16  # low 16 bits correct despite lazies
+        # mi from acc[0] + p[0] BEFORE accumulating: only the low 16 bits
+        # matter, and u32 wraparound preserves them — this lets p and q merge
+        # into one accumulate below.
+        mi = ((acc[0] + p[0]) * inv16) & MASK16  # (B,)
         q = m_col * mi[None, :]  # (K, B)
+        lo = (p & MASK16) + (q & MASK16)  # < 2^17
+        hi = (p >> 16) + (q >> 16)  # < 2^17
         acc = (
             acc
-            + jnp.concatenate([q & MASK16, zpad], axis=0)
-            + jnp.concatenate([zpad[:1], q >> 16, zpad[:1]], axis=0)
+            + jnp.concatenate([lo, zpad], axis=0)
+            + jnp.concatenate([zpad[:1], hi, zpad[:1]], axis=0)
         )
         # limb 0 is now divisible by 2^16: shift the accumulator down one
         # limb, folding limb 0's high part into the new low limb
@@ -117,8 +141,12 @@ def _mont_mul_arr(a, b, m_limbs, inv16):
         acc = jnp.concatenate([acc[1:], zpad[:1]], axis=0)
         # scatter-free static-index add (Mosaic lacks scatter lowering)
         acc = acc + jnp.concatenate([carry0[None, :], jnp.zeros_like(acc[1:])], axis=0)
-        # lazy split keeps limbs < 2^17
-        return (acc & MASK16) + _shift_up(acc >> 16), bcur
+        # NO per-step carry split: each row gains < 2^18.3 per step (lo + hi
+        # + carry0) and lives <= K+2 shifts, so rows stay < 2^23 — far from
+        # u32 overflow. acc[0] is always an exact (unwrapped) sum, so carry0
+        # and mi stay correct. The lazy split the earlier version ran every
+        # step was ~30% of the kernel's vector ops.
+        return acc, bcur
 
     # consume b's limbs in order without dynamic indexing (unsupported in
     # Mosaic): keep a rotating copy whose row 0 is the current limb. _UNROLL

@@ -151,10 +151,11 @@ def prove(pk: IndexPK, v: List[int], w: List[int], pp: PublicParameter, mesh) ->
     tor = fs.sample_fr_vec(log_n)
 
     with span("Prove 3 (sharded)"):
-        az = pk.matrix_a.sum_over_y(z)
-        bz = pk.matrix_b.sum_over_y(z)
-        cz = pk.matrix_c.sum_over_y(z)
-        suffix = mle.eq_suffix_tables(tor)
+        az, bz, cz, suffix = pr._third_round_fused(
+            pk.matrix_a.coo, pk.matrix_b.coo, pk.matrix_c.coo, z,
+            fo.encode_mont(FR, tor),
+        )
+        suffix = list(suffix)
     pm3 = pr.ProverThirdMessage(
         ml_index_info=sc.IndexInfo(max_multiplicands=log_n + 2, num_variables=log_n)
     )
@@ -221,9 +222,8 @@ def prove(pk: IndexPK, v: List[int], w: List[int], pp: PublicParameter, mesh) ->
         bz_s = jnp.asarray(jax.device_get(bz_s))
         cz_s = jnp.asarray(jax.device_get(cz_s))
     r_dev = fo.encode_mont(FR, [last1])
-    va = fo.decode_mont(FR, mle.fold(az_s, r_dev))[0]
-    vb = fo.decode_mont(FR, mle.fold(bz_s, r_dev))[0]
-    vc = fo.decode_mont(FR, mle.fold(cz_s, r_dev))[0]
+    abz = jnp.concatenate([az_s, bz_s, cz_s], axis=1)
+    va, vb, vc = fo.decode_mont(FR, mle.fold(abz, r_dev))  # one fetch
     r_x = randomness + [last1]
     pm4 = pr.ProverFourthMessage(va=va, vb=vb, vc=vc)
     fs.feed(pm4.serialize())
@@ -231,12 +231,11 @@ def prove(pk: IndexPK, v: List[int], w: List[int], pp: PublicParameter, mesh) ->
 
     # ---- round 5 (local sparse partial-eval) ----
     with span("Prove 5 (sharded)"):
-        arx = pk.matrix_a.eval_on_x(r_x)
-        brx = pk.matrix_b.eval_on_x(r_x)
-        crx = pk.matrix_c.eval_on_x(r_x)
-        w_tab = mle.scale(arx, fo.encode_mont(FR, [vm4.r_a]))
-        w_tab = fo.add(FR, w_tab, mle.scale(brx, fo.encode_mont(FR, [vm4.r_b])))
-        w_tab = fo.add(FR, w_tab, mle.scale(crx, fo.encode_mont(FR, [vm4.r_c])))
+        w_tab = pr._fifth_round_fused(
+            pk.matrix_a.coo, pk.matrix_b.coo, pk.matrix_c.coo,
+            fo.encode_mont(FR, r_x),
+            fo.encode_mont(FR, [vm4.r_a, vm4.r_b, vm4.r_c]),
+        )
     pm5 = pr.ProverFifthMessage(
         index_info=sc.IndexInfo(max_multiplicands=2, num_variables=log_n)
     )

@@ -436,42 +436,86 @@ def commit_many(pp: PublicParameter, polys: List) -> List[Commitment]:
 def open_many(pp: PublicParameter, polys: List, points: List[List[int]]):
     """PST opens for many (poly, point) pairs, fetched with 2 host syncs.
 
-    Same per-level math as commitment/scheme.open_poly (quotient fold +
-    combined-base G2 MSMs, small levels padded to one shared 128-point
-    program); all instances' level MSMs are queued before any decode.
+    Per instance, ONE fused quotient-ladder program
+    (commitment/scheme._quotients_and_eval); the level MSMs of ALL instances
+    are then fused into the same banded composite-key msm_many programs the
+    single-proof opening uses (c=8 big levels / c=4 tail levels) — instances
+    share level sizes, so a batch of B proofs costs the same program count as
+    one. (The former per-(instance, level) msm dispatch loop made batching
+    LOSE to sequential proving — round-4 measurement.)
     Returns list of (eval:int, OpenProof)."""
+    from spartan_tpu.commitment import scheme as _scheme
+
     nv = pp.nv
+    nb = len(polys)
+    if pp.powers_of_h_comb is None:
+        raise invalid_arg("batched open requires combined opening bases")
     eval_devs = []
-    all_levels = []
+    qcats = []
     for poly, point in zip(polys, points):
         if len(point) != nv:
             raise invalid_arg("point dimension mismatch")
         point_mont = fo.encode_mont(FR, point)
-        eval_devs.append(mle.eval_at(poly, point_mont))
-        r_table = poly
-        for i in range(nv):
-            k, n = r_table.shape
-            pairs = r_table.reshape(k, n // 2, 2)
-            q = fo.sub(FR, pairs[:, :, 1], pairs[:, :, 0])
-            r_table = mle.fold(r_table, point_mont[:, i])
-            scalars = fo.from_mont(FR, q)
-            bases = pp.powers_of_h_comb[i]
-            m = scalars.shape[1]
-            if m < 128:
-                scalars = jnp.concatenate(
-                    [scalars, jnp.zeros((FR.nlimb, 128 - m), scalars.dtype)], axis=1
-                )
-                bases = jax.tree_util.tree_map(
-                    lambda a: jnp.concatenate(
-                        [a, jnp.zeros(a.shape[:-1] + (128 - m,), a.dtype)], axis=-1
-                    ),
-                    bases,
-                )
-            all_levels.append(msm_mod.msm(bases, scalars, "fp2"))
-    evals = fo.decode_mont(FR, jnp.concatenate(eval_devs, axis=1))  # fetch 1
-    proofs_flat = cv.g2_decode_many(all_levels)  # fetch 2
+        qcat, ev = _scheme._quotients_and_eval(poly, point_mont)
+        eval_devs.append(ev)
+        qcats.append(qcat)
+
+    sizes_per = [1 << (nv - 1 - i) for i in range(nv)]
+    offs = [0] * nv
+    for i in range(1, nv):
+        offs[i] = offs[i - 1] + sizes_per[i - 1]
+
+    max_lanes = 1 << 21
+    device_results = [[None] * nv for _ in range(nb)]
+
+    def _flush(group, c):
+        if not group:
+            return
+        cat = lambda arrs: jnp.concatenate(arrs, axis=-1)
+        bases = jax.tree_util.tree_map(
+            lambda *leaves: cat(list(leaves)),
+            *[pp.powers_of_h_comb[i] for (_j, i) in group],
+        )
+        scalars = jnp.concatenate(
+            [qcats[j][:, offs[i] : offs[i] + sizes_per[i]] for (j, i) in group],
+            axis=1,
+        )
+        res = msm_mod.msm_many(
+            bases, tuple(sizes_per[i] for (_j, i) in group), scalars, "fp2", c
+        )
+        for slot, (j, i) in enumerate(group):
+            device_results[j][i] = jax.tree_util.tree_map(
+                lambda a: a[..., slot : slot + 1], res
+            )
+
+    for c, levels in ((8, [i for i in range(nv) if sizes_per[i] >= 512]),
+                      (4, [i for i in range(nv) if sizes_per[i] < 512])):
+        nw = 256 // c
+        group: list = []
+        budget = 0
+        for j in range(nb):
+            for i in levels:
+                lanes = nw * sizes_per[i]
+                if lanes > max_lanes:
+                    device_results[j][i] = msm_mod.msm(
+                        pp.powers_of_h_comb[i],
+                        qcats[j][:, offs[i] : offs[i] + sizes_per[i]],
+                        "fp2",
+                    )
+                    continue
+                if group and budget + lanes > max_lanes:
+                    _flush(group, c)
+                    group, budget = [], 0
+                group.append((j, i))
+                budget += lanes
+        _flush(group, c)
+
+    evals = fo.decode_ints(FR, jnp.concatenate(eval_devs, axis=1))  # fetch 1
+    proofs_flat = cv.g2_decode_many(
+        [device_results[j][i] for j in range(nb) for i in range(nv)]
+    )  # fetch 2
     out = []
-    for j in range(len(polys)):
+    for j in range(nb):
         out.append(
             (evals[j], OpenProof(h=pp.h, proofs=proofs_flat[j * nv : (j + 1) * nv]))
         )

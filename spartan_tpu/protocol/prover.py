@@ -202,15 +202,51 @@ def prover_second_round(state: ProverSecondState, r_v: List[int], pp: PublicPara
     )
 
 
+import jax as _jax
+
+from spartan_tpu.ops import sparse as _sparse
+
+
+@_jax.jit
+def _third_round_fused(coo_a, coo_b, coo_c, z, tor_mont):
+    """3x sparse mat-vec + the eq suffix ladder in ONE program.
+
+    The per-call versions issued ~8 dispatches; through the remote tunnel
+    each dispatch costs ~20 ms of latency, which dominated Prove 3.
+    """
+    n = z.shape[1]
+    az = _sparse.sum_over_y(coo_a, z, n)
+    bz = _sparse.sum_over_y(coo_b, z, n)
+    cz = _sparse.sum_over_y(coo_c, z, n)
+    suffix = mle.eq_suffix_tables_mont(tor_mont)
+    return az, bz, cz, tuple(suffix)
+
+
+@_jax.jit
+def _fifth_round_fused(coo_a, coo_b, coo_c, rx_mont, rabc_mont):
+    """eq(r_x, .) table + 3x sparse partial-eval + combine, ONE program."""
+    n = 1 << rx_mont.shape[1]
+    eqx = mle.eq_table(rx_mont)
+    w = mle.scale(_sparse.eval_on_x_table(coo_a, eqx, n), rabc_mont[:, 0])
+    w = fo.add(
+        FR, w, mle.scale(_sparse.eval_on_x_table(coo_b, eqx, n), rabc_mont[:, 1])
+    )
+    w = fo.add(
+        FR, w, mle.scale(_sparse.eval_on_x_table(coo_c, eqx, n), rabc_mont[:, 2])
+    )
+    return w
+
+
 def prover_third_round(state: ProverThirdState, tor: List[int]):
     """Sparse A z / B z / C z + eq suffix tables; propose sumcheck 1
     (prover.rs:163-196)."""
     pk = state.pk
     with span("Prove 3: sparse mat-vec + eq"):
-        az = pk.matrix_a.sum_over_y(state.z)
-        bz = pk.matrix_b.sum_over_y(state.z)
-        cz = pk.matrix_c.sum_over_y(state.z)
-        suffix = mle.eq_suffix_tables(tor)
+        az, bz, cz, suffix = _third_round_fused(
+            pk.matrix_a.coo, pk.matrix_b.coo, pk.matrix_c.coo, state.z,
+            fo.encode_mont(FR, tor),
+        )
+        suffix = list(suffix)
     info = sc.IndexInfo(max_multiplicands=pk.log_n + 2, num_variables=pk.log_n)
     next_state = ProverFirstSumcheckState(
         pk=pk, z=state.z, az=az, bz=bz, cz=cz, suffix=suffix,
@@ -274,13 +310,9 @@ def prove_first_sumcheck_round(
 def prove_fourth_round(state: ProverFirstSumcheckState, last_random_point: int):
     """Final fold; send va, vb, vc = (A z~)(r_x), ... (prover.rs:210-228)."""
     r_dev = fo.encode_mont(FR, [last_random_point])
-    az = mle.fold(state.az, r_dev)
-    bz = mle.fold(state.bz, r_dev)
-    cz = mle.fold(state.cz, r_dev)
+    abz = jnp.concatenate([state.az, state.bz, state.cz], axis=1)
     r_x = state.randomness + [last_random_point]
-    va = fo.decode_mont(FR, az)[0]
-    vb = fo.decode_mont(FR, bz)[0]
-    vc = fo.decode_mont(FR, cz)[0]
+    va, vb, vc = fo.decode_mont(FR, mle.fold(abz, r_dev))  # one fetch
     return (
         ProverFifthState(pk=state.pk, z=state.z, r_x=r_x),
         ProverFourthMessage(va=va, vb=vb, vc=vc),
@@ -293,12 +325,10 @@ def prove_fifth_round(state: ProverFifthState, r_a: int, r_b: int, r_c: int):
     combined single product is the same polynomial (sum of the three)."""
     pk = state.pk
     with span("Prove 5: eval_on_x + combine"):
-        arx = pk.matrix_a.eval_on_x(state.r_x)
-        brx = pk.matrix_b.eval_on_x(state.r_x)
-        crx = pk.matrix_c.eval_on_x(state.r_x)
-        w = mle.scale(arx, fo.encode_mont(FR, [r_a]))
-        w = fo.add(FR, w, mle.scale(brx, fo.encode_mont(FR, [r_b])))
-        w = fo.add(FR, w, mle.scale(crx, fo.encode_mont(FR, [r_c])))
+        w = _fifth_round_fused(
+            pk.matrix_a.coo, pk.matrix_b.coo, pk.matrix_c.coo,
+            fo.encode_mont(FR, state.r_x), fo.encode_mont(FR, [r_a, r_b, r_c]),
+        )
     # wire format: the reference proposes 3 products of 2 factors each ->
     # max_multiplicands = 2, identical to the combined form's index info.
     info = sc.IndexInfo(max_multiplicands=2, num_variables=pk.log_n)

@@ -383,12 +383,16 @@ def verify_sixth_round(
         state.second_verifier_state, second_claimed
     )
     r_y = second_sub.point
-    assert r_x == first_point and r_y == second_point
+    if r_x != first_point or r_y != second_point:
+        # both derive from the same verifier randomness; a mismatch means
+        # internal state corruption, and the native matrix eval below uses
+        # first/second_point — fail loudly even under python -O
+        raise invalid_arg("subclaim points diverge from verifier randomness")
     with span("Verify: matrix evals at (r_x, r_y)"):
         if use_native:
-            a_rx_ry, b_rx_ry, c_rx_ry = (
-                _native.matrix_eval_native(m.serialize(), r_x, r_y, log_n)
-                for m in (vk.matrix_a, vk.matrix_b, vk.matrix_c)
+            a_rx_ry, b_rx_ry, c_rx_ry = _native.matrix_eval3_native(
+                vk.matrix_a.serialize(), vk.matrix_b.serialize(),
+                vk.matrix_c.serialize(), r_x, r_y, log_n,
             )
         else:
             a_rx_ry, b_rx_ry, c_rx_ry = fo.decode_mont(FR, abc_fut)

@@ -16,27 +16,60 @@ import platform
 
 
 def machine_fingerprint() -> str:
+    """Key for the XLA:CPU AOT cache dir: CPU identity AND jaxlib build.
+
+    /proc/cpuinfo alone proved insufficient: the MULTICHIP_r04 failure loaded
+    entries whose XLA target config carried pseudo-features (+prefer-no-gather
+    etc.) the loading process rejected — an XLA/jaxlib build difference, not a
+    CPU one. Entries must never be shared across jaxlib versions.
+    """
     bits = [platform.machine(), platform.processor()]
+    try:
+        import jaxlib
+
+        bits.append(f"jaxlib={jaxlib.__version__}")
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith(("model name", "flags")):
                     bits.append(line.strip())
-                    if len(bits) > 4:
+                    if len(bits) > 5:
                         break
     except OSError:
         pass
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
-def setup_compile_cache(jax_module) -> str:
+def want_cpu_backend() -> bool:
+    """True when the environment asks for the CPU backend (virtual-device
+    dryruns / tests). Decided from env HINTS, not jax.default_backend():
+    the axon TPU plugin force-registers itself even under JAX_PLATFORMS=cpu,
+    so default_backend() can report "tpu" while the work runs on the forced
+    CPU devices — which routed CPU AOT entries into the shared TPU cache dir
+    (the MULTICHIP_r03/r04 poisoning mechanism)."""
+    import os
+
+    return (
+        os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
+        or "xla_force_host_platform_device_count"
+        in os.environ.get("XLA_FLAGS", "")
+    )
+
+
+def setup_compile_cache(jax_module, backend: str | None = None) -> str:
     """Point jax at the per-backend persistent compile cache.
 
     CPU dirs carry the machine fingerprint (XLA:CPU AOT results are
-    machine-specific); the tunnel TPU dir stays stable — its entries are
-    compiled by the one tunnel server and reused across rounds.
+    machine- and jaxlib-specific); the tunnel TPU dir stays stable — its
+    entries are compiled by the one tunnel server and reused across rounds.
     """
-    if jax_module.default_backend() == "cpu":
+    if backend is None:
+        backend = (
+            "cpu" if want_cpu_backend() else jax_module.default_backend()
+        )
+    if backend == "cpu":
         path = f"/root/.cache/jax-cpu-{machine_fingerprint()}"
     else:
         path = "/root/.cache/jax"

@@ -26,28 +26,13 @@ jax.config.update("jax_platforms", "cpu")
 # machine features differ from this host; loading them hangs or SIGILLs.
 # Keyed on a machine fingerprint (same scheme as __graft_entry__) so caches
 # never cross machines either.
-import hashlib  # noqa: E402
-import platform  # noqa: E402
+import sys  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _machine_fingerprint() -> str:
-    bits = [platform.machine(), platform.processor()]
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith(("model name", "flags")):
-                    bits.append(line.strip())
-                    if len(bits) > 4:
-                        break
-    except OSError:
-        pass
-    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+from spartan_tpu.utils.cache import setup_compile_cache  # noqa: E402
 
-
-jax.config.update(
-    "jax_compilation_cache_dir", f"/root/.cache/jax-cpu-{_machine_fingerprint()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+setup_compile_cache(jax)
 # 8 virtual devices on a small host: async dispatch's inline-thread executor
 # deadlocks (observed with while_loop programs on a 2-core machine).
 jax.config.update("jax_cpu_enable_async_dispatch", False)
