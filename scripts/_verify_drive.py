@@ -39,7 +39,7 @@ def main():
     print("prove+verify OK", round(time.time() - t0, 1), "s", flush=True)
 
     blob = proof.serialize()
-    proof2 = Proof.deserialize(blob, pk.log_n)
+    proof2 = Proof.deserialize(blob)
     assert MLArgumentForR1CS.verify(pk.vk(), v, proof2, vp)
     print("serde re-verify OK", len(blob), "bytes", flush=True)
 

@@ -200,6 +200,69 @@ def _quotients_and_eval(poly, point_mont):
     return jnp.concatenate(outs, axis=1), fo.from_mont(FR, r)
 
 
+def banded_g2_msms(bases_list, scalars_list, sizes):
+    """Run the per-level opening MSMs as few fused programs as possible.
+
+    Fuses the per-level MSMs into as few composite programs as the lane
+    budget allows (ops/msm.msm_many): the whole opening then costs about
+    one commit-sized MSM instead of nv sequential ones (the reference runs
+    them serially, src/commitment/open.rs:37-51). Oversized levels (beyond
+    the lane budget) run individually via msm's window chunking.
+
+    Window size per level: c=8 (32 windows) for big levels — the
+    signed-digit pair-tree reduction keeps the ~3*2^(c-1)-adds-per-window
+    reduce affordable and halves the dominant walk adds — but the reduce
+    cost is PER LEVEL, so the many small tail levels pay 32*384 lane-adds
+    each for a handful of points. They run in a separate c=4 program (64
+    windows, 24 reduce adds per window) where their bucket occupancy also
+    stays dense enough for the strided walk instead of the full-add
+    segmented scan (measured: the tail band was ~25% of the opening MSM at
+    2^14). Shared by the single-device and mesh-sharded opens so both
+    compile the SAME msm_many programs.
+
+    Returns a list of single-point device results, one per level.
+    """
+    n_levels = len(sizes)
+    max_lanes = 1 << 21
+    device_results = [None] * n_levels
+
+    def _flush(group, c):
+        if not group:
+            return
+        idxs = [g for g in group]
+        cat = lambda arrs: jnp.concatenate(arrs, axis=-1)
+        bases = jax.tree_util.tree_map(
+            lambda *leaves: cat(list(leaves)), *[bases_list[g] for g in idxs]
+        )
+        scalars = jnp.concatenate([scalars_list[g] for g in idxs], axis=1)
+        res = msm_mod.msm_many(
+            bases, tuple(sizes[g] for g in idxs), scalars, "fp2", c
+        )
+        for j, g in enumerate(idxs):
+            device_results[g] = jax.tree_util.tree_map(
+                lambda a: a[..., j : j + 1], res
+            )
+
+    for c, levels in ((8, [i for i in range(n_levels) if sizes[i] >= 512]),
+                      (4, [i for i in range(n_levels) if sizes[i] < 512])):
+        nw = 256 // c
+        group: list = []
+        budget = 0
+        for i in levels:
+            if nw * sizes[i] > max_lanes:
+                device_results[i] = msm_mod.msm(
+                    bases_list[i], scalars_list[i], "fp2"
+                )
+                continue
+            if group and budget + nw * sizes[i] > max_lanes:
+                _flush(group, c)
+                group, budget = [], 0
+            group.append(i)
+            budget += nw * sizes[i]
+        _flush(group, c)
+    return device_results
+
+
 def open_poly(pp: PublicParameter, poly, point: List[int]):
     """Evaluate poly at point and produce the PST opening proof.
 
@@ -233,58 +296,7 @@ def open_poly(pp: PublicParameter, poly, point: List[int]):
                 bases_list.append(pp.powers_of_h[i])
             sizes.append(scalars_list[-1].shape[1])
 
-        # Fuse the per-level MSMs into as few composite programs as the lane
-        # budget allows (ops/msm.msm_many): the whole opening then costs about
-        # one commit-sized MSM instead of nv sequential ones. Oversized levels
-        # (beyond the lane budget) run individually via msm's window chunking.
-        #
-        # Window size per level: c=8 (32 windows) for big levels — the
-        # signed-digit pair-tree reduction keeps the ~3*2^(c-1)-adds-per-
-        # window reduce affordable and halves the dominant walk adds — but
-        # the reduce cost is PER LEVEL, so the many small tail levels pay
-        # 32*384 lane-adds each for a handful of points. They run in a
-        # separate c=4 program (64 windows, 24 reduce adds per window) where
-        # their bucket occupancy also stays dense enough for the strided
-        # walk instead of the full-add segmented scan (measured: the tail
-        # band was ~25% of the opening MSM at 2^14).
-        max_lanes = 1 << 21
-        device_results = [None] * nv
-
-        def _flush(group, c):
-            if not group:
-                return
-            idxs = [g for g in group]
-            cat = lambda arrs: jnp.concatenate(arrs, axis=-1)
-            bases = jax.tree_util.tree_map(
-                lambda *leaves: cat(list(leaves)), *[bases_list[g] for g in idxs]
-            )
-            scalars = jnp.concatenate([scalars_list[g] for g in idxs], axis=1)
-            res = msm_mod.msm_many(
-                bases, tuple(sizes[g] for g in idxs), scalars, "fp2", c
-            )
-            for j, g in enumerate(idxs):
-                device_results[g] = jax.tree_util.tree_map(
-                    lambda a: a[..., j : j + 1], res
-                )
-
-        for c, levels in ((8, [i for i in range(nv) if sizes[i] >= 512]),
-                          (4, [i for i in range(nv) if sizes[i] < 512])):
-            nw = 256 // c
-            group: list = []
-            budget = 0
-            for i in levels:
-                if nw * sizes[i] > max_lanes:
-                    device_results[i] = msm_mod.msm(
-                        bases_list[i], scalars_list[i], "fp2"
-                    )
-                    continue
-                if group and budget + nw * sizes[i] > max_lanes:
-                    _flush(group, c)
-                    group, budget = [], 0
-                group.append(i)
-                budget += nw * sizes[i]
-            _flush(group, c)
-
+        device_results = banded_g2_msms(bases_list, scalars_list, sizes)
         proofs = cv.g2_decode_many(device_results)  # one host fetch for all levels
 
     eval_res = fo.decode_ints(FR, ev_limbs)[0]

@@ -96,6 +96,116 @@ def _tree_take(p: PointBatch, idx) -> PointBatch:
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=-1), p)
 
 
+# ---------------------------------------------------------------------------
+# Small-n ladder MSM
+# ---------------------------------------------------------------------------
+#
+# The Pippenger pipeline (sort + bucket walk + reduce tree) compiles into a
+# large program whose build cost is shape-independent — at the tiny sizes the
+# multichip dryrun and the CPU test suite use (2^4..2^6 points) that compile
+# cost dwarfs the compute by orders of magnitude, and the broken XLA:CPU AOT
+# persistent cache in the driver environment means it is paid per PROCESS.
+# Below a threshold, a per-lane double-and-add ladder (one lax.scan over the
+# 256 scalar bits: double + masked mixed add) + pair-tree reduction computes
+# the same group elements with a program ~100x smaller. Identical results
+# (exact group arithmetic; affine decode is representation-unique), so proof
+# bytes are unchanged.
+
+import os as _os
+
+_LADDER_MAX = int(_os.environ.get("SPARTAN_MSM_LADDER_MAX", "64"))
+
+
+def _bit_masks_msb(scalars):
+    """(16, N) canonical limbs -> (256, N) bool bit masks, MSB first."""
+    k, _n = scalars.shape
+    rows = []
+    for limb in range(k - 1, -1, -1):
+        for b in range(15, -1, -1):
+            rows.append(((scalars[limb] >> b) & jnp.uint32(1)) > 0)
+    return jnp.stack(rows)
+
+
+def _pad_pow2(points: PointBatch, scalars, n: int):
+    """Pad lanes to a power of two with infinity points / zero scalars."""
+    m = 1
+    while m < n:
+        m *= 2
+    if m == n:
+        return points, scalars, n
+    pad = m - n
+    pts = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+        ),
+        points,
+    )
+    sc = jnp.concatenate(
+        [scalars, jnp.zeros((scalars.shape[0], pad), scalars.dtype)], axis=1
+    )
+    return pts, sc, m
+
+
+def _ladder_products(f, points: PointBatch, scalars) -> PointBatch:
+    """Per-lane s_i * P_i via one 256-step double-and-add scan."""
+    masks = _bit_masks_msb(scalars)  # (256, N) bool
+    inf = jax.tree_util.tree_map(
+        lambda a: jnp.zeros_like(a) + a[..., :1] * 0, points
+    )
+
+    def step(acc, m):
+        acc = cv.double(f, acc)
+        cand = cv.add_mixed(f, acc, points)
+        return cv.select_point(f, m, cand, acc), None
+
+    acc, _ = jax.lax.scan(step, inf, masks)
+    return acc
+
+
+def _tree_reduce_lanes(f, p: PointBatch) -> PointBatch:
+    """Pair-tree reduce a power-of-two lane batch to one lane."""
+
+    def _blen(t: PointBatch) -> int:
+        leaf = t.x[0] if isinstance(t.x, tuple) else t.x
+        return leaf.shape[-1]
+
+    while _blen(p) > 1:
+        even = jax.tree_util.tree_map(lambda a: a[..., 0::2], p)
+        odd = jax.tree_util.tree_map(lambda a: a[..., 1::2], p)
+        p = cv.add(f, even, odd)
+    return p
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _msm_ladder(points: PointBatch, scalars, fname: str) -> PointBatch:
+    f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
+    n = scalars.shape[1]
+    pts, sc, _m = _pad_pow2(points, scalars, n)
+    prods = _ladder_products(f, pts, sc)
+    return _tree_reduce_lanes(f, prods)
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def _msm_many_ladder(
+    points: PointBatch, sizes, scalars, fname: str
+) -> PointBatch:
+    """Ladder products over all concatenated lanes, then per-problem
+    pair-tree reduction. Returns a PointBatch over len(sizes) lanes."""
+    f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
+    prods = _ladder_products(f, points, scalars)
+    outs = []
+    off = 0
+    for sz in sizes:
+        sl = jax.tree_util.tree_map(lambda a: a[..., off : off + sz], prods)
+        zero_sc = jnp.zeros((scalars.shape[0], sz), scalars.dtype)
+        sl, _sc, _m = _pad_pow2(sl, zero_sc, sz)
+        outs.append(_tree_reduce_lanes(f, sl))
+        off += sz
+    return jax.tree_util.tree_map(
+        lambda *ls: jnp.concatenate(list(ls), axis=-1), *outs
+    )
+
+
 def _neg_y_where(f, mask, p: PointBatch) -> PointBatch:
     """Negate y on masked lanes (point negation; infinity lanes stay 0)."""
     zero = jax.tree_util.tree_map(jnp.zeros_like, p.y)
@@ -288,18 +398,29 @@ def _bucket_accumulate(f, ps, ks, seg_start, glen, inf_t, inf_g, total):
     )
 
 
-@partial(jax.jit, static_argnums=(2, 3))
 def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatch:
-    """Pippenger MSM: sum_i scalars[i] * points[i].
+    """MSM: sum_i scalars[i] * points[i].
 
     points: PointBatch batched over N (Jacobian, Montgomery coords).
     scalars: (16, N) canonical (non-Montgomery) Fr limbs.
     fname: "fp" (G1) or "fp2" (G2). Returns a single Jacobian point (batch 1).
 
-    Signed c-bit windows (half the buckets of unsigned; negated-base lanes
-    negate y up front, free for affine bases) + pair-tree weighted bucket
-    reduction (see _weighted_reduce_tree).
+    Dispatch (trace-time static on N): at or below SPARTAN_MSM_LADDER_MAX
+    lanes the compile-cheap double-and-add ladder runs (_msm_ladder); above
+    it the Pippenger pipeline (msm_pippenger). Identical group results.
     """
+    if scalars.shape[1] <= _LADDER_MAX:
+        return _msm_ladder(points, scalars, fname)
+    return msm_pippenger(points, scalars, fname, c)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def msm_pippenger(
+    points: PointBatch, scalars, fname: str = "fp", c: int = 8
+) -> PointBatch:
+    """Pippenger MSM: signed c-bit windows (half the buckets of unsigned;
+    negated-base lanes negate y up front, free for affine bases) + pair-tree
+    weighted bucket reduction (see _weighted_reduce_tree)."""
     f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
     n = scalars.shape[1]
     buckets_d, negs = signed_digits(scalars, c)  # (nw, N)
@@ -385,8 +506,27 @@ def msm(points: PointBatch, scalars, fname: str = "fp", c: int = 8) -> PointBatc
     return result
 
 
-@partial(jax.jit, static_argnums=(1, 3, 4))
 def msm_many(
+    points: PointBatch, sizes, scalars, fname: str = "fp", c: int = 8
+) -> PointBatch:
+    """L independent MSMs fused into ONE program.
+
+    points: PointBatch over sum(sizes) (concatenated per-problem bases).
+    sizes: static tuple of per-problem point counts. scalars: (16, sum(sizes))
+    canonical. Returns a PointBatch batched over len(sizes) (Jacobian).
+
+    Dispatch (trace-time static): at or below SPARTAN_MSM_LADDER_MAX total
+    lanes the compile-cheap ladder runs (_msm_many_ladder); above it the
+    fused Pippenger (msm_many_pippenger). Identical group results.
+    """
+    sizes = tuple(int(s) for s in sizes)
+    if sum(sizes) <= _LADDER_MAX:
+        return _msm_many_ladder(points, sizes, scalars, fname)
+    return msm_many_pippenger(points, sizes, scalars, fname, c)
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
+def msm_many_pippenger(
     points: PointBatch, sizes, scalars, fname: str = "fp", c: int = 8
 ) -> PointBatch:
     """L independent Pippenger MSMs fused into ONE program.
@@ -398,10 +538,6 @@ def msm_many(
     argsort + one segmented scan + one bucket reduction cover every level at
     once — total lane count equals ONE MSM over the concatenated points, so
     the whole opening costs about as much as the commit.
-
-    points: PointBatch over sum(sizes) (concatenated per-problem bases).
-    sizes: static tuple of per-problem point counts. scalars: (16, sum(sizes))
-    canonical. Returns a PointBatch batched over len(sizes) (Jacobian).
     """
     f = cv.G1_FIELD if fname == "fp" else cv.G2_FIELD
     sizes = tuple(int(s) for s in sizes)

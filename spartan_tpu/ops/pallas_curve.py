@@ -30,8 +30,11 @@ from spartan_tpu.ops.field import FP
 MASK16 = 0xFFFF
 import os as _os
 
-# batch lanes per block (VMEM: ~36 live (24,B) temporaries)
-_BLOCK = int(_os.environ.get("SPARTAN_PALLAS_CURVE_BLOCK", "512"))
+# batch lanes per block (VMEM: ~36 live (24,B) temporaries). 256 measured
+# ~12% faster than 512 and ~20% faster than 1024 on the open-shaped G2
+# msm_many (v5e, round-5 sweep: scripts/sweep_kernel_knobs.py — smaller
+# blocks keep the live temporaries resident in VMEM).
+_BLOCK = int(_os.environ.get("SPARTAN_PALLAS_CURVE_BLOCK", "256"))
 
 
 class _Fp:

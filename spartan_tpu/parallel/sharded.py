@@ -37,8 +37,27 @@ HC_AXIS = "hc"  # hypercube / point-range axis
 
 
 def make_mesh(n_devices: int | None = None, axis: str = HC_AXIS) -> Mesh:
+    """Mesh over the first n devices of a platform that HAS n devices.
+
+    The default platform can have fewer devices than requested (one tunnel
+    TPU chip while 8 virtual CPU devices exist) — silently building a
+    smaller mesh would skip the sharded code paths a caller asked to
+    exercise, so fall back to the CPU host platform before giving up.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devs = cpu
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices}-device mesh but only {len(devs)} "
+                "devices exist on any platform"
+            )
         devs = devs[:n_devices]
     import numpy as np
 

@@ -101,17 +101,13 @@ def sharded_open(pp: PublicParameter, poly, point: List[int], mesh):
                 small_bases.append(bases)
                 small_sizes.append(m)
         if small_idx:
-            cat_bases = jax.tree_util.tree_map(
-                lambda *ls: jnp.concatenate(list(ls), axis=-1), *small_bases
-            )
-            res = msm_mod.msm_many(
-                cat_bases, tuple(small_sizes),
-                jnp.concatenate(small_scal, axis=1), "fp2", 8,
+            # same banding (and therefore the same compiled msm_many
+            # programs) as the single-device open — scheme.banded_g2_msms
+            small_res = scheme.banded_g2_msms(
+                small_bases, small_scal, small_sizes
             )
             for j, i in enumerate(small_idx):
-                device_results[i] = jax.tree_util.tree_map(
-                    lambda a: a[..., j : j + 1], res
-                )
+                device_results[i] = small_res[j]
         proofs = cv.g2_decode_many(device_results)
 
     eval_res = fo.decode_ints(FR, ev_limbs)[0]

@@ -70,9 +70,23 @@ def setup_compile_cache(jax_module, backend: str | None = None) -> str:
             "cpu" if want_cpu_backend() else jax_module.default_backend()
         )
     if backend == "cpu":
+        # Make the ACTUAL backend agree with the dir choice: the axon TPU
+        # plugin ignores the JAX_PLATFORMS env var (it re-registers itself as
+        # default), so an env-hinted "CPU" process could otherwise compile on
+        # the tunnel backend and write tunnel-machine XLA:CPU AOT entries
+        # into this machine's CPU cache dir (the r4/r5 poisoning mechanism).
+        # The config update does stick; harmless when already on CPU.
+        try:
+            jax_module.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         path = f"/root/.cache/jax-cpu-{machine_fingerprint()}"
     else:
         path = "/root/.cache/jax"
     jax_module.config.update("jax_compilation_cache_dir", path)
-    jax_module.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache even fast-compiling programs: a cold CPU dryrun issues dozens of
+    # ~0.35 s trivial programs (each under the default 1.0 s threshold) that
+    # would otherwise recompile in every process, including the driver's
+    # timeout-bounded multichip dryrun
+    jax_module.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     return path

@@ -91,6 +91,36 @@ def test_msm_equal_digits_and_duplicates():
     assert got == hc.G1.msm(pts, scalars)
 
 
+def test_msm_pippenger_small_matches_oracle():
+    """The sort+walk Pippenger path, pinned at a size the msm() dispatcher
+    would otherwise route to the small-n ladder (both paths must stay
+    covered — msm() picks by SPARTAN_MSM_LADDER_MAX)."""
+    rng = random.Random(21)
+    n = 33
+    pts = _rand_g1(rng, n)
+    scalars = [rng.randrange(hf.R) for _ in range(n)]
+    scalars[0] = 0
+    batch = cv.g1_encode(pts)
+    slimbs = fo.encode_ints(FR, scalars)
+    got = cv.g1_decode(msm_mod.msm_pippenger(batch, slimbs, "fp", 8))[0]
+    assert got == hc.G1.msm(pts, scalars)
+
+
+def test_msm_many_pippenger_small_matches_oracle():
+    rng = random.Random(22)
+    sizes = (8, 4, 2, 1)
+    pts = _rand_g1(rng, sum(sizes))
+    scalars = [rng.randrange(hf.R) for _ in range(sum(sizes))]
+    batch = cv.g1_encode(pts)
+    slimbs = fo.encode_ints(FR, scalars)
+    res = msm_mod.msm_many_pippenger(batch, sizes, slimbs, "fp", 4)
+    got = cv.g1_decode(res)
+    off = 0
+    for j, sz in enumerate(sizes):
+        assert got[j] == hc.G1.msm(pts[off : off + sz], scalars[off : off + sz])
+        off += sz
+
+
 def test_fixed_base_msm():
     rng = random.Random(6)
     table_host = msm_mod.fixed_base_table_host(hf.G1_GEN, hc.G1, c=8, nbits=256)
