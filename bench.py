@@ -31,7 +31,10 @@ ASCENDING ladder that spent the budget before 2^14 started):
 Environment knobs:
   SPARTAN_BENCH_BUDGET_S  global wall budget in seconds (default 1500)
   SPARTAN_BENCH_SIZES     comma list of log_n, run in the given order
-                          (default 14,16,12)
+                          (default 14,16,12,18 — the proven sizes first,
+                          then 2^18 with whatever budget remains; the
+                          parent reports the largest COMPLETED size, so a
+                          2^18 overrun costs nothing)
   SPARTAN_BENCH_REPS      timed prove repetitions after warmup (default 1)
   SPARTAN_BENCH_DENSITY   circuit density knob (default 0; reference sweeps
                           0..229 — src/benchmark.rs:69-78)
@@ -110,7 +113,7 @@ def child_main():
     reps = int(os.environ.get("SPARTAN_BENCH_REPS", "1"))
     sizes = [
         int(s)
-        for s in os.environ.get("SPARTAN_BENCH_SIZES", "14,16,12").split(",")
+        for s in os.environ.get("SPARTAN_BENCH_SIZES", "14,16,12,18").split(",")
     ]
     # density sweep (reference src/benchmark.rs:69-78 sweeps 0..229 at fixed
     # size): SPARTAN_BENCH_DENSITIES=0,64,128,229 crosses every size with

@@ -148,14 +148,15 @@ def validate_matrix(matrix: Matrix, num_constraints: int):
             if idx >= num_constraints:
                 raise invalid_arg("sparse index out of bound")
             col_nnz[idx] = col_nnz.get(idx, 0) + 1
-        if len(row) >= 1 << 16:
-            raise invalid_arg("row too dense for segment-sum kernel (>= 2^16 nnz)")
-    # eval_on_x_table segment-sums by COLUMN (ops/sparse.py:54-58); a column
-    # with >= 2^16 entries would silently overflow the limb-wise uint32
-    # accumulator, so reject it here like the row check above
-    # (reference walks columns safely, r1cs_reader.rs:91-117).
-    if col_nnz and max(col_nnz.values()) >= 1 << 16:
-        raise invalid_arg("column too dense for segment-sum kernel (>= 2^16 nnz)")
+        if len(row) >= 1 << 31:
+            raise invalid_arg("row too dense for segment-sum kernel (>= 2^31 nnz)")
+    # rows/columns with >= 2^16 entries use the two-stage segment sum
+    # (ops/sparse.dense_segment_aux, built by the indexer); its stage-2
+    # fan-in stays < 2^16 partials per segment only below 2^31 entries, so
+    # that is the hard cap (reference walks rows/columns with unbounded
+    # scalar loops, r1cs_reader.rs:75-117).
+    if col_nnz and max(col_nnz.values()) >= 1 << 31:
+        raise invalid_arg("column too dense for segment-sum kernel (>= 2^31 nnz)")
 
 
 def matrix_to_coo(matrix: Matrix):

@@ -62,13 +62,14 @@ def synthesize(cs: ConstraintSystem, num_private: int, num_public: int, density:
         b_val, b_var = c_val, c_var
 
     for _ in range(num_sparse, num_private):
-        a_lc = LinearCombination()
-        b_lc = LinearCombination()
-        c_val = 0
-        for val, var in assignments:
-            a_lc = a_lc + var
-            b_lc = b_lc + var
-            c_val = (c_val + val) % hf.R
+        # dense square constraint: sum of ALL assigned vars on both mul
+        # inputs (reference constraints.rs:52-60). Built as one terms list:
+        # the reference's `lc = lc + var` fold is amortized in Rust but
+        # O(n^2) list copies here, which dominated circuit gen at 2^18.
+        dense_terms = [(1, var) for _val, var in assignments]
+        a_lc = LinearCombination(list(dense_terms))
+        b_lc = LinearCombination(list(dense_terms))
+        c_val = sum(val for val, _var in assignments) % hf.R
         c_val = c_val * c_val % hf.R
         c_var = cs.new_witness_variable(c_val)
         cs.enforce_constraint(a_lc, b_lc, lc(c_var))

@@ -113,14 +113,44 @@ def gather_mul_segsum_b(gather_idx, scatter_idx, vals, table, n_out: int):
     return fo.reduce_wide(FR, jnp.moveaxis(acc, 0, -1))
 
 
+@partial(jax.jit, static_argnums=(5, 6))
+def gather_mul_segsum_2stage_b(
+    gather_idx, sub_idx, sub_to_seg, vals, table, n_sub: int, n_out: int
+):
+    """Batched two-stage segment sum for >= 2^16-entry segments
+    (ops/sparse.gather_mul_segsum_2stage with a B axis)."""
+    gathered = jnp.take(table, gather_idx, axis=2)  # (16, B, nnz)
+    prods = fo.mont_mul(FR, vals[:, None, :], gathered)
+    acc = jax.ops.segment_sum(
+        jnp.moveaxis(prods, -1, 0), sub_idx, num_segments=n_sub
+    )
+    partials = fo.reduce_wide(FR, jnp.moveaxis(acc, 0, -1))  # (16, B, n_sub)
+    acc2 = jax.ops.segment_sum(
+        jnp.moveaxis(partials, -1, 0), sub_to_seg, num_segments=n_out
+    )
+    return fo.reduce_wide(FR, jnp.moveaxis(acc2, 0, -1))
+
+
+def _dispatch_b(gather_idx, scatter_idx, aux, vals, table, n_out: int):
+    if aux is None:
+        return gather_mul_segsum_b(gather_idx, scatter_idx, vals, table, n_out)
+    sub_idx, sub_to_seg = aux
+    return gather_mul_segsum_2stage_b(
+        gather_idx, sub_idx, sub_to_seg, vals, table,
+        int(sub_to_seg.shape[0]), n_out,
+    )
+
+
 def sum_over_y_b(coo, z, n: int):
-    rows, cols, vals = coo
-    return gather_mul_segsum_b(cols, rows, vals, z, n)
+    rows, cols, vals = coo[0], coo[1], coo[2]
+    aux = coo[3] if len(coo) > 3 else None
+    return _dispatch_b(cols, rows, aux, vals, z, n)
 
 
 def eval_on_x_table_b(coo, eqx, n: int):
-    rows, cols, vals = coo
-    return gather_mul_segsum_b(rows, cols, vals, eqx, n)
+    rows, cols, vals = coo[0], coo[1], coo[2]
+    aux = coo[4] if len(coo) > 4 else None
+    return _dispatch_b(rows, cols, aux, vals, eqx, n)
 
 
 # ---------------------------------------------------------------------------

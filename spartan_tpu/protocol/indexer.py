@@ -30,7 +30,11 @@ class MatrixExtension:
 
     rows_list: Matrix  # host sparse rows (for serialization/FS)
     num_constraints: int
-    coo: tuple  # (rows int32, cols int32, vals (16,nnz) Montgomery) device
+    # (rows int32, cols int32, vals (16,nnz) Montgomery, row_aux, col_aux)
+    # device buffers; row_aux/col_aux are None unless some row/column holds
+    # >= 2^16 entries (then (sub_idx, sub_to_seg) for the two-stage
+    # segment sum — ops/sparse.dense_segment_aux)
+    coo: tuple
     _ser_cache: bytes = None  # serialize() result (O(nnz) bytes, built once)
 
     @classmethod
@@ -39,10 +43,15 @@ class MatrixExtension:
         rows, cols, vals = matrix_to_coo(matrix)
         if not rows:  # keep kernels shape-valid for empty matrices
             rows, cols, vals = [0], [0], [0]
+        dev_aux = lambda aux: None if aux is None else (
+            jnp.asarray(aux[0]), jnp.asarray(aux[1])
+        )
         coo = (
             jnp.asarray(np.array(rows, np.int32)),
             jnp.asarray(np.array(cols, np.int32)),
             fo.encode_mont(FR, vals),
+            dev_aux(sparse.dense_segment_aux(rows)),
+            dev_aux(sparse.dense_segment_aux(cols)),
         )
         return cls(rows_list=matrix, num_constraints=num_constraints, coo=coo)
 

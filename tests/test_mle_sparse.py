@@ -121,19 +121,42 @@ def test_eval_on_x_boolean_point_reproduces_row():
         assert got[y] == expected_row.get(y, 0)
 
 
-def test_column_density_guard_rejects_dense_column():
-    """A column with >= 2^16 nnz must be rejected (models/r1cs.validate_matrix
-    — the segment-sum kernel's uint32 accumulator bound; reference walks
-    columns safely, r1cs_reader.rs:91-117)."""
-    import pytest
+def test_dense_segment_two_stage_matches_oracle():
+    """Rows/columns with >= 2^16 entries route through the two-stage
+    segment sum (ops/sparse.gather_mul_segsum_2stage — the one-stage
+    uint32 accumulator would overflow there) and must match the scalar
+    oracle exactly. This is the synthesizer's dense-square-row shape at
+    2^17+ circuit sizes (reference walks rows/columns with unbounded
+    scalar loops, r1cs_reader.rs:75-117)."""
+    from spartan_tpu.protocol.indexer import MatrixExtension
 
-    from spartan_tpu.models.r1cs import validate_matrix
-    from spartan_tpu.utils.errors import SpartanError
+    rng = random.Random(11)
+    log_n = 6
+    n = 1 << log_n
+    dense = 1 << 16  # entries in row 0, all hitting column 3
+    mat = [[] for _ in range(n)]
+    mat[0] = [(rng.randrange(1, hf.R), 3) for _ in range(dense)]
+    for x in range(1, n):
+        mat[x] = [(rng.randrange(1, hf.R), rng.randrange(n)) for _ in range(2)]
+    me = MatrixExtension.new(mat, n)
+    assert me.coo[3] is not None and me.coo[4] is not None  # both auxes built
 
-    n = 1 << 16
-    dense_col = [[(1, 0)] for _ in range(n)]  # every row hits column 0
-    with pytest.raises(SpartanError):
-        validate_matrix(dense_col, n)
+    z_ints = [rng.randrange(hf.R) for _ in range(n)]
+    z = f.encode_mont(FR, z_ints)
+    got = f.decode_mont(FR, me.sum_over_y(z))
+    for x in range(n):
+        expect = sum(c * z_ints[y] for c, y in mat[x]) % hf.R
+        assert got[x] == expect
+
+    r_x = [rng.randrange(hf.R) for _ in range(log_n)]
+    eq_ints = f.decode_mont(FR, mle.eq_table(f.encode_mont(FR, r_x)))
+    col_terms = {}
+    for x in range(n):
+        for c, y in mat[x]:
+            col_terms[y] = (col_terms.get(y, 0) + c * eq_ints[x]) % hf.R
+    got2 = f.decode_mont(FR, me.eval_on_x(r_x))
+    for y in range(n):
+        assert got2[y] == col_terms.get(y, 0)
 
 
 def test_column_density_guard_accepts_under_threshold():
